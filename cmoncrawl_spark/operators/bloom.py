@@ -1,0 +1,200 @@
+"""Partitioned bloom-filter URL-seen set (SURVEY §2 D1, §7 R5).
+
+The reference keeps an in-memory ``Set[str]`` of canonical URL ids
+(/root/reference/cmoncrawl/middleware/synchronized.py:30-41). At a
+10^10-URL frontier that set is ~12 GB of bloom bits at 1% FPR — far too
+big to broadcast — so it is SHARDED by a hash of the url id: each shard
+is an independent bloom filter (one blob row), built and probed
+shard-locally via Arrow UDFs.
+
+Zero per-row Python: the two independent 64-bit hashes every bloom op
+needs are computed JVM-side with ``xxhash64(id)`` and
+``xxhash64(id, seed=PRIME)`` inside whole-stage codegen; the pandas
+UDFs receive plain int64 columns and do pure numpy bit math
+(double-hashing h1 + i*h2 — Kirsch-Mitzenmacher).
+
+Probe protocol (keeps results EXACT, not approximate):
+  bloom-negative  -> definitely unseen, pass through (no join) — at
+                     scale this is ~99% of candidates, so the expensive
+                     exact join only sees bloom-positives;
+  bloom-positive  -> exact left_anti join against the seen table to
+                     eliminate false positives.
+The net result equals an exact anti-join (the DuckDB oracle), with the
+join input shrunk by orders of magnitude.
+
+Checkpointing: shards serialize to rows (shard_id, bloom, n_items, m_bits,
+k_hashes) — written/loaded as a parquet/Iceberg table per round
+(north_rule resumability).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+_SEED2 = 0x9E3779B1  # second-hash seed (golden-ratio prime)
+
+BLOOM_SHARD_SCHEMA = StructType(
+    [
+        StructField("shard_id", IntegerType()),
+        StructField("bloom", BinaryType()),
+        StructField("n_items", LongType()),
+        StructField("m_bits", LongType()),
+        StructField("k_hashes", IntegerType()),
+    ]
+)
+
+
+def optimal_params(n: int, fpp: float) -> tuple[int, int]:
+    """(m_bits, k_hashes) for n items at target false-positive rate."""
+    n = max(n, 1)
+    m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = (m + 63) // 64 * 64
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+def _positions(h1: np.ndarray, h2: np.ndarray, k: int, m: int) -> np.ndarray:
+    """(len, k) bit positions via double hashing; all-numpy, vectorized."""
+    i = np.arange(k, dtype=np.uint64)
+    # uint64 wrap-around arithmetic is exactly what we want here.
+    return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m)
+
+
+def _set_bits(bits: np.ndarray, pos: np.ndarray) -> None:
+    flat = pos.reshape(-1)
+    np.bitwise_or.at(bits, flat >> np.uint64(3), (1 << (flat & np.uint64(7))).astype(np.uint8))
+
+
+def _test_bits(bits: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
+    mask = (1 << (pos & np.uint64(7))).astype(np.uint8)
+    return ((byte & mask) != 0).all(axis=1)
+
+
+def with_bloom_hashes(df: DataFrame, id_col: str = "url_id") -> DataFrame:
+    """Attach JVM-computed h1/h2 (int64) — the only hashing anywhere."""
+    return df.withColumn("h1", F.xxhash64(F.col(id_col))).withColumn(
+        "h2", F.xxhash64(F.col(id_col), F.lit(_SEED2))
+    )
+
+
+def shard_of(h1_col, num_shards: int):
+    return F.pmod(h1_col, F.lit(num_shards)).cast("int")
+
+
+def build_shards(
+    seen_ids: DataFrame,
+    num_shards: int = 32,
+    expected_per_shard: int = 1_000_000,
+    fpp: float = 0.01,
+    id_col: str = "url_id",
+) -> DataFrame:
+    """Build bloom shards from a DataFrame of seen canonical ids.
+
+    One shuffle (groupBy shard), then an Arrow UDF turns each shard's
+    hash columns into one bloom blob row. Shard sizing is static from
+    ``expected_per_shard`` — at scale you'd size from the seen-table
+    row count (a cheap count on Iceberg metadata, no scan).
+    """
+    m, k = optimal_params(expected_per_shard, fpp)
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        h1 = pdf["h1"].to_numpy().astype(np.uint64)
+        h2 = pdf["h2"].to_numpy().astype(np.uint64)
+        _set_bits(bits, _positions(h1, h2, k, m))
+        return pd.DataFrame(
+            {
+                "shard_id": [int(pdf["shard"].iloc[0])],
+                "bloom": [bits.tobytes()],
+                "n_items": [len(pdf)],
+                "m_bits": [m],
+                "k_hashes": [k],
+            }
+        )
+
+    hashed = with_bloom_hashes(seen_ids.select(id_col).distinct(), id_col)
+    return (
+        hashed.withColumn("shard", shard_of(F.col("h1"), num_shards))
+        .groupBy("shard")
+        .applyInPandas(_build, BLOOM_SHARD_SCHEMA)
+    )
+
+
+def probe(
+    candidates: DataFrame,
+    shards: DataFrame,
+    num_shards: int = 32,
+    id_col: str = "url_id",
+) -> DataFrame:
+    """Mark candidates with ``maybe_seen`` (bloom positive) per shard.
+
+    Cogrouped Arrow UDF: each task gets one shard's candidates + that
+    shard's single blob row — the full filter is never broadcast and
+    never collected (R5). Output = candidates + maybe_seen:boolean.
+    """
+    out_schema = StructType(
+        candidates.schema.fields + [StructField("maybe_seen", BooleanType())]
+    )
+    cand_cols = [f.name for f in candidates.schema.fields]
+
+    def _probe(cand: pd.DataFrame, blob: pd.DataFrame) -> pd.DataFrame:
+        if cand.empty:
+            return pd.DataFrame(columns=cand_cols + ["maybe_seen"])
+        if blob.empty:
+            res = cand[cand_cols].copy()
+            res["maybe_seen"] = False
+            return res
+        bits = np.frombuffer(blob["bloom"].iloc[0], dtype=np.uint8)
+        m = int(blob["m_bits"].iloc[0])
+        k = int(blob["k_hashes"].iloc[0])
+        h1 = cand["h1"].to_numpy().astype(np.uint64)
+        h2 = cand["h2"].to_numpy().astype(np.uint64)
+        res = cand[cand_cols].copy()
+        res["maybe_seen"] = _test_bits(bits, _positions(h1, h2, k, m))
+        return res
+
+    hashed = with_bloom_hashes(candidates, id_col).withColumn(
+        "shard", shard_of(F.col("h1"), num_shards)
+    )
+    return (
+        hashed.groupBy("shard")
+        .cogroup(shards.groupBy(F.col("shard_id").alias("shard")))
+        .applyInPandas(_probe, out_schema)
+    )
+
+
+def dedupe_against_seen(
+    candidates: DataFrame,
+    seen_ids: DataFrame,
+    shards: DataFrame | None = None,
+    num_shards: int = 32,
+    id_col: str = "url_id",
+) -> DataFrame:
+    """Exact unseen-set via bloom pre-filter + anti-join backstop.
+
+    Equivalent to ``candidates.join(seen, 'left_anti')`` but the join
+    only receives bloom-positive rows. With shards=None falls back to
+    the plain exact anti-join (small inputs / tests).
+    """
+    seen = seen_ids.select(id_col).distinct()
+    if shards is None:
+        return candidates.join(seen, on=id_col, how="left_anti")
+    probed = probe(candidates, shards, num_shards=num_shards, id_col=id_col)
+    negatives = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
+    positives = probed.where(F.col("maybe_seen")).drop("maybe_seen")
+    survivors = positives.join(seen, on=id_col, how="left_anti")
+    return negatives.unionByName(survivors)

@@ -1,0 +1,148 @@
+"""Frontier scheduling round — the engine's flagship job (north_rule).
+
+One round is a pure DataFrame job:
+
+    canonicalize -> intra-batch dedup -> dedupe-against-seen (bloom +
+    exact backstop) -> robots filter -> politeness budget ->
+    per-host top-k (salted two-phase) -> deterministic fetch order
+
+The reference's analog is the per-record loop in
+/root/reference/cmoncrawl/middleware/synchronized.py:14-50 (URL-seen
+gate at :30-41) plus its global Throttler
+(cmoncrawl/common/throttling.py:8-43); politeness here is upgraded to a
+per-host budget window per the north_rule (budget = floor(round_secs /
+crawl_delay)) while keeping the reference's dedup semantics (D1).
+
+Determinism (SURVEY §7 R1): every ordering is TOTAL — priority desc,
+depth asc, then canonical url_id as the unique tiebreaker — so output
+is bit-for-bit reproducible at any parallelism and matches the
+single-threaded simulator oracle.
+
+Scale design:
+- canonicalization + ordering keys are native expressions (codegen);
+- per-host top-k is TWO-PHASE: phase 1 ranks within (host, salt) so a
+  hot host's candidates spread over ``salt_buckets`` reducers and are
+  cut to <= budget rows EACH before phase 2's exact per-host rank —
+  identical output to a single global window (phase-1 survivors are a
+  superset of the true top-k), but the unsalted shuffle only carries
+  O(hosts * salt_buckets * budget) rows instead of the raw skew (R4);
+- the seen-set never moves: bloom shards are probed shard-local
+  (bloom.py) and only bloom-positives reach the exact anti-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from cmoncrawl_spark.functions.urls import host_of, unify_url_id_col
+from cmoncrawl_spark.operators import bloom as bloom_ops
+
+#: total-order sort keys for scheduling (best first).
+def _order_keys() -> list[Column]:
+    return [F.col("depth").asc(), F.col("priority").desc(), F.col("url_id").asc()]
+
+
+def canonicalize(frontier: DataFrame, url_col: str = "url") -> DataFrame:
+    """Attach url_id (D1 canonical id) + host — all codegen expressions."""
+    return frontier.withColumn(
+        "url_id", unify_url_id_col(F.col(url_col))
+    ).withColumn("host", host_of(F.col(url_col)))
+
+
+def dedupe_intra_batch(candidates: DataFrame) -> DataFrame:
+    """One row per url_id: keep the best (depth, priority desc, url) —
+    the reference processes first-arrival only (synchronized.py:36)."""
+    w = Window.partitionBy("url_id").orderBy(
+        F.col("depth").asc(), F.col("priority").desc(), F.col("url").asc()
+    )
+    return (
+        candidates.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def per_host_topk(
+    df: DataFrame,
+    budget_col: str = "budget",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Salted two-phase per-host top-k under the total order.
+
+    Output = rows with rank <= budget per host, plus their exact
+    ``fetch_rank``. Equivalent to one Window.partitionBy(host) rank;
+    survives hot-host skew (SURVEY §4 shuffle strategy, §7 R4).
+    """
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("url_id")), F.lit(salt_buckets))
+    )
+    w1 = Window.partitionBy("host", "_salt").orderBy(*_order_keys())
+    phase1 = (
+        salted.withColumn("_rn1", F.row_number().over(w1))
+        .where(F.col("_rn1") <= F.col(budget_col))
+        .drop("_rn1", "_salt")
+    )
+    w2 = Window.partitionBy("host").orderBy(*_order_keys())
+    return phase1.withColumn("fetch_rank", F.row_number().over(w2)).where(
+        F.col("fetch_rank") <= F.col(budget_col)
+    )
+
+
+def scheduling_round(
+    frontier: DataFrame,
+    seen_ids: DataFrame,
+    host_policies: DataFrame,
+    bloom_shards: DataFrame | None = None,
+    num_shards: int = 32,
+    salt_buckets: int = 16,
+    global_limit: int | None = None,
+) -> DataFrame:
+    """One full scheduling round.
+
+    frontier:      url, depth:int, priority:double (+ passthrough cols)
+    seen_ids:      url_id (canonical)
+    host_policies: host, budget:int, robots_disallow_all:boolean
+                   (broadcast — per-host table is tiny next to the
+                   frontier even at 10^10 URLs)
+    Returns the fetch list: url, url_id, host, depth, priority,
+    budget, fetch_rank — deterministically ordered per host.
+    """
+    cand = canonicalize(frontier)
+    cand = dedupe_intra_batch(cand)
+    cand = bloom_ops.dedupe_against_seen(
+        cand, seen_ids, shards=bloom_shards, num_shards=num_shards
+    )
+    pol = host_policies.select("host", "budget", "robots_disallow_all")
+    cand = cand.join(F.broadcast(pol), on="host", how="inner").where(
+        ~F.col("robots_disallow_all")
+    )
+    out = per_host_topk(cand, salt_buckets=salt_buckets).select(
+        "url", "url_id", "host", "depth", "priority", "budget", "fetch_rank"
+    )
+    if global_limit is not None:
+        out = out.orderBy(*_order_keys()).limit(global_limit)
+    return out
+
+
+def round_metrics(
+    frontier: DataFrame,
+    scheduled: DataFrame,
+) -> DataFrame:
+    """Per-host lineage metrics for the round (north_rule): candidates
+    in, scheduled out, dropped counts."""
+    cand = canonicalize(frontier).groupBy("host").agg(
+        F.count("*").alias("candidates")
+    )
+    sched = scheduled.groupBy("host").agg(
+        F.count("*").alias("scheduled"),
+        F.min("fetch_rank").alias("min_rank"),
+        F.max("fetch_rank").alias("max_rank"),
+    )
+    return (
+        cand.join(sched, on="host", how="left")
+        .withColumn("scheduled", F.coalesce(F.col("scheduled"), F.lit(0)))
+        .withColumn(
+            "dropped", F.col("candidates") - F.col("scheduled")
+        )
+    )
