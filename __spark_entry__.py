@@ -1,38 +1,57 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry():       flagship frontier scheduling round at sf0.001.
+queries():     implemented operators from SURVEY.md §2 (+ north_rule
+               frontier ops and training-data-pipeline ops).
+oracle_sql():  DuckDB equivalents over the same portable synthetic
+               derivation (cmoncrawl_spark/datagen.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from cmoncrawl_spark import queries as q
+
+    return q.q_frontier_round(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from cmoncrawl_spark import queries as q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q_index_exact": q.q_index_exact,
+        "q_index_prefix": q.q_index_prefix,
+        "q_index_host": q.q_index_host,
+        "q_index_domain": q.q_index_domain,
+        "q_index_daterange": q.q_index_daterange,
+        "q_index_limit": q.q_index_limit,
+        "q_index_extra_where": q.q_index_extra_where,
+        "q_unify_url_id": q.q_unify_url_id,
+        "q_url_seen_dedup": q.q_url_seen_dedup,
+        "q_exact_dedup_docs": q.q_exact_dedup_docs,
+        "q_frontier_round": q.q_frontier_round,
+        "q_frontier_round_exact": q.q_frontier_round_exact,
+        "q_politeness_budgets": q.q_politeness_budgets,
+        "q_token_count": q.q_token_count,
+        "q_quality_stats": q.q_quality_stats,
+        "q_lang_agg": q.q_lang_agg,
+        "q_doc_fingerprint": q.q_doc_fingerprint,
+        "q_events_hourly": q.q_events_hourly,
+        "q_cosine_topk": q.q_cosine_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from cmoncrawl_spark.oracles import oracles
+
+    return oracles()

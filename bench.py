@@ -1,0 +1,69 @@
+"""Benchmark harness — driver contract.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+The headline metric is the flagship frontier scheduling round's
+wall-clock; per-query seconds cover the breadth of SURVEY §2 operator
+groups. Use scaling_bench.py for the N-vs-4N-cores scaling-efficiency
+evidence (BASELINE.md protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q_frontier_round",
+    "q_frontier_round_exact",
+    "q_index_domain",
+    "q_url_seen_dedup",
+    "q_exact_dedup_docs",
+    "q_token_count",
+    "q_quality_stats",
+    "q_cosine_topk",
+    "q_events_hourly",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from cmoncrawl_spark import queries as q
+    from cmoncrawl_spark.session import get_spark
+
+    spark = get_spark("cmoncrawl-bench", cores=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once so timings measure the plans.
+    q.q_token_count(spark, sf_dir).count()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = getattr(q, name)
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.monotonic() - t0, 3)
+
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    out = {
+        "metric": "frontier_round_sec",
+        "value": per_query["q_frontier_round"],
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,176 @@
+"""DuckDB oracle SQL for every entry in queries.py.
+
+Each string is ANSI-ish SQL in DuckDB dialect over the driver's
+pre-registered views, prefixed with the SAME portable CTE derivation
+Spark uses (datagen.py) — so both engines query identical synthetic
+crawl data and the driver's value-hash comparison is meaningful.
+
+Dialect notes vs Spark: DuckDB len()/row_number() return BIGINT where
+Spark returns INT — oracle casts to match Spark's schema; DuckDB
+regexp_replace needs the 'g' flag for replace-all.
+"""
+
+from __future__ import annotations
+
+from cmoncrawl_spark.datagen import with_crawl_ctes
+from cmoncrawl_spark.queries import (
+    DOMAIN_URL,
+    EXACT_URL,
+    HOST_URL,
+    SINCE,
+    TO,
+)
+
+_PROJ = (
+    "url, fetch_time, warc_filename, warc_record_offset, warc_record_length"
+)
+_BASE = "fetch_status = 200 AND subset = 'warc'"
+
+# Reference-shaped predicates (athena_query_maker.py:10-33).
+_PREFIX_PRED = (
+    "(url_host_name = 'news.hot-domain.com' OR url_host_name = 'www.news.hot-domain.com') "
+    "AND (url_path = '/sec1' OR url_path LIKE '/sec1/%')"
+)
+_HOST_PRED = (
+    f"(url_host_name = '{HOST_URL}' OR url_host_name = 'www.{HOST_URL}')"
+)
+_DOMAIN_PRED = (
+    f"(url_host_name LIKE '%.{DOMAIN_URL}' OR url_host_name = '{DOMAIN_URL}')"
+)
+
+# The frontier round as pure SQL: exact dedup stands in for
+# bloom+backstop (provably the same output set).
+_FRONTIER_ROUND_SQL = """
+, cand AS (
+  SELECT url, canonical_expected AS url_id, url_host_name AS host,
+         depth, priority,
+         row_number() OVER (
+           PARTITION BY canonical_expected
+           ORDER BY depth ASC, priority DESC, url ASC) AS rn
+  FROM pages
+),
+dedup AS (SELECT url, url_id, host, depth, priority FROM cand WHERE rn = 1),
+unseen AS (
+  SELECT d.* FROM dedup d
+  WHERE d.url_id NOT IN (SELECT url_id FROM seen)
+),
+joined AS (
+  SELECT u.url, u.url_id, u.host, u.depth, u.priority, p.budget
+  FROM unseen u JOIN host_policies p ON u.host = p.host
+  WHERE NOT p.robots_disallow_all
+),
+ranked AS (
+  SELECT url, url_id, host, depth, priority, budget,
+         CAST(row_number() OVER (
+           PARTITION BY host
+           ORDER BY depth ASC, priority DESC, url_id ASC) AS INT) AS fetch_rank
+  FROM joined
+)
+SELECT url, url_id, host, depth, priority, budget, fetch_rank
+FROM ranked WHERE fetch_rank <= budget
+"""
+
+
+def oracles() -> dict[str, str]:
+    ts = lambda d: d.strftime("%Y-%m-%d %H:%M:%S")
+    o: dict[str, str] = {}
+    o["q_index_exact"] = with_crawl_ctes(
+        f"SELECT {_PROJ} FROM ccindex WHERE {_BASE} AND (url = '{EXACT_URL}')"
+    )
+    o["q_index_prefix"] = with_crawl_ctes(
+        f"SELECT {_PROJ} FROM ccindex WHERE {_BASE} AND ({_PREFIX_PRED})"
+    )
+    o["q_index_host"] = with_crawl_ctes(
+        f"SELECT {_PROJ} FROM ccindex WHERE {_BASE} AND {_HOST_PRED}"
+    )
+    o["q_index_domain"] = with_crawl_ctes(
+        f"SELECT {_PROJ} FROM ccindex WHERE {_BASE} AND {_DOMAIN_PRED}"
+    )
+    o["q_index_daterange"] = with_crawl_ctes(
+        f"SELECT {_PROJ} FROM ccindex WHERE {_BASE} AND {_DOMAIN_PRED} "
+        f"AND fetch_time >= TIMESTAMP '{ts(SINCE)}' "
+        f"AND fetch_time <= TIMESTAMP '{ts(TO)}' "
+        f"AND CAST(regexp_extract(crawl, 'MAIN-(\\d{{4}})', 1) AS INT) "
+        f"BETWEEN {SINCE.year} AND {TO.year}"
+    )
+    o["q_index_limit"] = with_crawl_ctes(
+        f"SELECT {_PROJ} FROM ccindex WHERE {_BASE} AND {_DOMAIN_PRED} "
+        f"ORDER BY fetch_time, url LIMIT 10"
+    )
+    o["q_index_extra_where"] = with_crawl_ctes(
+        f"SELECT {_PROJ} FROM ccindex WHERE {_BASE} AND {_DOMAIN_PRED} "
+        f"AND warc_record_offset > 100000"
+    )
+    o["q_unify_url_id"] = with_crawl_ctes(
+        "SELECT url, canonical_expected AS url_id FROM pages"
+    )
+    o["q_url_seen_dedup"] = with_crawl_ctes(
+        """
+        SELECT url_id, url, warc_ts FROM (
+          SELECT canonical_expected AS url_id, url, warc_ts,
+                 row_number() OVER (
+                   PARTITION BY canonical_expected
+                   ORDER BY warc_ts ASC, url ASC) AS rn
+          FROM pages) t
+        WHERE rn = 1
+        """
+    )
+    o["q_exact_dedup_docs"] = (
+        "SELECT md5(substr(text, 1, 40)) AS fp, min(doc_id) AS keep_id, "
+        "count(*) AS dups FROM documents GROUP BY fp"
+    )
+    o["q_frontier_round"] = with_crawl_ctes(_FRONTIER_ROUND_SQL, frontier=True)
+    o["q_frontier_round_exact"] = o["q_frontier_round"]
+    o["q_politeness_budgets"] = with_crawl_ctes(
+        "SELECT host, crawl_delay_s, budget, robots_disallow_all "
+        "FROM host_policies",
+        frontier=True,
+    )
+    o["q_token_count"] = (
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, "
+        "CAST(length(text) AS INT) AS n_chars_calc FROM documents"
+    )
+    o["q_quality_stats"] = (
+        "SELECT doc_id, "
+        "CAST(len(string_split(text, ' ')) AS INT) AS n_words, "
+        "CAST(len(list_filter(string_split(text, ' '), "
+        "w -> w = 'the' OR w = 'a' OR w = 'of')) AS INT) AS stop_count, "
+        "CAST(list_max(list_transform(string_split(text, ' '), "
+        "w -> length(w))) AS INT) AS longest_word, "
+        "CAST(len(list_distinct(string_split(text, ' '))) AS INT) "
+        "AS distinct_words FROM documents"
+    )
+    o["q_lang_agg"] = (
+        "SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars, "
+        "min(doc_id) AS min_doc FROM documents GROUP BY lang"
+    )
+    o["q_doc_fingerprint"] = (
+        "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+    )
+    o["q_events_hourly"] = (
+        "SELECT event_type, date_trunc('hour', ts) AS hour, "
+        "count(*) AS n_events, "
+        "CAST(round(sum(value) * 100) AS BIGINT) AS value_cents "
+        "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+    )
+    o["q_cosine_topk"] = """
+        WITH q AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+          WHERE vec_id = 0
+        ),
+        sims AS (
+          SELECT e.vec_id,
+                 list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
+                 (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[]))) *
+                  sqrt(list_dot_product(q.qv, q.qv))) AS sim
+          FROM embeddings e, q
+        )
+        SELECT vec_id, rank FROM (
+          SELECT vec_id,
+                 CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS INT)
+                   AS rank
+          FROM sims) t
+        WHERE rank <= 10
+    """
+    return o

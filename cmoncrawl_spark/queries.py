@@ -1,0 +1,252 @@
+"""Registered queries for the driver's correctness gate.
+
+Every entry here has a Spark implementation (DataFrame-first) and a
+DuckDB oracle in ``oracles.py`` over the SAME portable synthetic
+derivation (datagen.py), so the driver's sf0.01 side-by-side run
+hash-compares real values.
+
+Numeric-stability rules for hash-parity:
+- prefer integer outputs (counts, ids, ranks);
+- doubles only where both engines perform the identical IEEE op
+  sequence (e.g. in-order dot products cast to double);
+- every computed column aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cmoncrawl_spark.datagen import register_crawl_views
+from cmoncrawl_spark.functions.urls import unify_url_id_col
+from cmoncrawl_spark.operators import bloom as bloom_ops
+from cmoncrawl_spark.operators.ccindex import MatchType, index_query
+from cmoncrawl_spark.operators.frontier import scheduling_round
+from cmoncrawl_spark.session import load_tables
+
+# Match targets guaranteed present in the synthetic population.
+EXACT_URL = "https://news.hot-domain.com/sec1/story1a"
+PREFIX_URL = "news.hot-domain.com/sec1"
+HOST_URL = "blog.hot-domain.com"
+DOMAIN_URL = "hot-domain.com"
+SINCE = datetime(2021, 6, 1)
+TO = datetime(2022, 12, 31)
+
+
+def _ccindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_crawl_views(spark, sf_dir)
+    return spark.table("ccindex")
+
+
+# ---------------------------------------------------------------- index scans
+
+
+def q_index_exact(spark, sf_dir):
+    return index_query(_ccindex(spark, sf_dir), [EXACT_URL], MatchType.EXACT)
+
+
+def q_index_prefix(spark, sf_dir):
+    return index_query(_ccindex(spark, sf_dir), [PREFIX_URL], MatchType.PREFIX)
+
+
+def q_index_host(spark, sf_dir):
+    return index_query(_ccindex(spark, sf_dir), [HOST_URL], MatchType.HOST)
+
+
+def q_index_domain(spark, sf_dir):
+    return index_query(_ccindex(spark, sf_dir), [DOMAIN_URL], MatchType.DOMAIN)
+
+
+def q_index_daterange(spark, sf_dir):
+    return index_query(
+        _ccindex(spark, sf_dir), [DOMAIN_URL], MatchType.DOMAIN, since=SINCE, to=TO
+    )
+
+
+def q_index_limit(spark, sf_dir):
+    return index_query(
+        _ccindex(spark, sf_dir), [DOMAIN_URL], MatchType.DOMAIN, limit=10
+    )
+
+
+def q_index_extra_where(spark, sf_dir):
+    return index_query(
+        _ccindex(spark, sf_dir),
+        [DOMAIN_URL],
+        MatchType.DOMAIN,
+        extra_where="warc_record_offset > 100000",
+    )
+
+
+# ------------------------------------------------------- canonicalize / dedup
+
+
+def q_unify_url_id(spark, sf_dir):
+    register_crawl_views(spark, sf_dir)
+    return spark.table("pages").select(
+        "url", unify_url_id_col(F.col("url")).alias("url_id")
+    )
+
+
+def q_url_seen_dedup(spark, sf_dir):
+    """D1 first-arrival: one row per canonical id (earliest capture)."""
+    register_crawl_views(spark, sf_dir)
+    pages = spark.table("pages").withColumn(
+        "url_id", unify_url_id_col(F.col("url"))
+    )
+    w = Window.partitionBy("url_id").orderBy(
+        F.col("warc_ts").asc(), F.col("url").asc()
+    )
+    return (
+        pages.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("url_id", "url", "warc_ts")
+    )
+
+
+def q_exact_dedup_docs(spark, sf_dir):
+    """Exact-hash dedup on a content fingerprint prefix."""
+    load_tables(spark, sf_dir, ("documents",))
+    return (
+        spark.table("documents")
+        .groupBy(F.md5(F.substring("text", 1, 40)).alias("fp"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dups"))
+    )
+
+
+# ------------------------------------------------------------------- frontier
+
+
+def q_frontier_round(spark, sf_dir):
+    """Flagship: full scheduling round with bloom + exact backstop."""
+    register_crawl_views(spark, sf_dir)
+    frontier = spark.table("pages").select("url", "depth", "priority")
+    seen = spark.table("seen")
+    shards = bloom_ops.build_shards(
+        seen, num_shards=8, expected_per_shard=200_000
+    )
+    return scheduling_round(
+        frontier,
+        seen,
+        spark.table("host_policies"),
+        bloom_shards=shards,
+        num_shards=8,
+    )
+
+
+def q_frontier_round_exact(spark, sf_dir):
+    """Same round without bloom (pure exact anti-join) — must match."""
+    register_crawl_views(spark, sf_dir)
+    return scheduling_round(
+        spark.table("pages").select("url", "depth", "priority"),
+        spark.table("seen"),
+        spark.table("host_policies"),
+    )
+
+
+def q_politeness_budgets(spark, sf_dir):
+    register_crawl_views(spark, sf_dir)
+    return spark.table("host_policies").select(
+        "host", "crawl_delay_s", "budget", "robots_disallow_all"
+    )
+
+
+# ------------------------------------------------------------- text analysis
+
+
+def q_token_count(spark, sf_dir):
+    load_tables(spark, sf_dir, ("documents",))
+    return spark.table("documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.length("text").alias("n_chars_calc"),
+    )
+
+
+def q_quality_stats(spark, sf_dir):
+    """Quality-scoring signals as exact integers (hash-stable)."""
+    load_tables(spark, sf_dir, ("documents",))
+    words = F.split(F.col("text"), " ")
+    stop = F.size(
+        F.filter(words, lambda w: (w == "the") | (w == "a") | (w == "of"))
+    )
+    return spark.table("documents").select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        stop.alias("stop_count"),
+        F.array_max(F.transform(words, F.length)).alias("longest_word"),
+        F.size(F.array_distinct(words)).alias("distinct_words"),
+    )
+
+
+def q_lang_agg(spark, sf_dir):
+    load_tables(spark, sf_dir, ("documents",))
+    return (
+        spark.table("documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+        )
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    load_tables(spark, sf_dir, ("documents",))
+    return spark.table("documents").select(
+        "doc_id", F.md5(F.col("text")).alias("fingerprint")
+    )
+
+
+# ------------------------------------------------------------------ events
+
+
+def q_events_hourly(spark, sf_dir):
+    load_tables(spark, sf_dir, ("events",))
+    return (
+        spark.table("events")
+        .groupBy(
+            F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.round(F.sum("value") * 100)).cast("long").alias("value_cents"),
+        )
+    )
+
+
+# ------------------------------------------------------------- similarity
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 vs the vec_id=0 query vector.
+
+    All-double, in-order arithmetic so DuckDB reproduces bit-identical
+    similarity; output is (vec_id, rank) — integers only.
+    """
+    load_tables(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+    joined = e.crossJoin(F.broadcast(q))
+    dot = F.aggregate(
+        F.zip_with("ev", "qv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    sim = (dot / (norm(F.col("ev")) * norm(F.col("qv")))).alias("sim")
+    ranked = joined.select("vec_id", sim).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        ),
+    )
+    return ranked.where(F.col("rank") <= 10).select("vec_id", "rank")
