@@ -47,6 +47,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_agg": q.q_lang_agg,
         "q_doc_fingerprint": q.q_doc_fingerprint,
         "q_events_hourly": q.q_events_hourly,
+        "q_extract_page": q.q_extract_page,
+        "q_route_match": q.q_route_match,
         "q_cosine_topk": q.q_cosine_topk,
     }
 

@@ -182,6 +182,66 @@ def register_crawl_views(spark: SparkSession, sf_dir: str) -> None:
     ).createOrReplaceTempView("host_policies")
 
 
+#: charset per language — mirrors ccindex.content_charset above.
+LANG_CHARSET = {
+    "zh": "UTF-8",
+    "de": "windows-1250",
+    "es": "ISO-8859-1",
+    "fr": "ISO-8859-1",
+    "en": "UTF-8",
+}
+
+#: rows whose html is undecodable garbage (reference encoding-cascade
+#: fixture bytes, tests/processor_test.py:152-153): doc_id % GARBAGE == 0.
+GARBAGE_MOD = 101
+GARBAGE_BYTES = bytes([0x81, 0x81, 0x82, 0x83])
+
+
+def synthesize_html_bytes(doc_id: int, text: str, lang: str) -> bytes:
+    """Deterministic page bytes for one row (shared by Spark UDF and
+    test oracles). CRLF rows exercise the \\r\\n normalization."""
+    if doc_id % GARBAGE_MOD == 0:
+        return GARBAGE_BYTES
+    sep = "\r\n" if doc_id % 13 == 0 else " "
+    page = (
+        f"<html><head><title>Doc {doc_id}</title></head>"
+        f"<body><p>{text}{sep}end</p></body></html>"
+    )
+    return page.encode(LANG_CHARSET.get(lang, "UTF-8"))
+
+
+def pages_with_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pages + html:binary + record_encoding — the full input_hint
+    table. html built in an Arrow-batched UDF (binary can't be
+    synthesized portably in SQL; the oracle predicts the EXTRACTED
+    values from components instead)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    register_crawl_views(spark, sf_dir)
+
+    def _html_fn(doc_id, text, lang):
+        return pd.Series(
+            [
+                synthesize_html_bytes(int(d), t, lg)
+                for d, t, lg in zip(doc_id, text, lang)
+            ]
+        )
+
+    _html = pandas_udf(_html_fn, "binary")
+
+    from pyspark.sql import functions as F
+
+    charset = F.create_map(
+        *[F.lit(x) for kv in LANG_CHARSET.items() for x in kv]
+    )
+    return (
+        spark.table("pages")
+        .withColumn("html", _html("doc_id", "text", "lang"))
+        .withColumn("record_encoding", charset[F.col("lang")])
+    )
+
+
 def pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_crawl_views(spark, sf_dir)
     return spark.table("pages")

@@ -1,0 +1,214 @@
+"""Extractor plugin protocol compiled to vectorized Arrow stages.
+
+The reference's plugin contract (SURVEY §2 U1/U2): a module defines an
+``extractor`` object with ``extract(response, metadata) -> dict|None``;
+``BaseExtractor`` subclasses implement ``extract_soup`` plus optional
+``filter_raw``/``filter_soup`` (/root/reference/cmoncrawl/processor/
+pipeline/extractor.py:18-91, router import protocol router.py:51-89).
+
+Spark-first redesign:
+- plugins DECLARE their output schema up front (SURVEY §7 R3 — Spark
+  needs schemas before execution; the one deliberate narrowing of the
+  reference's dynamism);
+- an extractor compiles to ONE ``mapInPandas`` stage: encoding cascade
+  + parse + soup-filters + field extraction fused so HTML parses
+  exactly once (the reference's cheap-before-expensive rule, §4);
+- raw-level filters should be expressed as native Column predicates
+  *before* this stage (F7) — Catalyst can't see inside the UDF.
+
+No per-row Spark dispatch: rows travel as Arrow batches; the Python
+loop is per-batch, exactly like the reference's per-record loop but
+amortized over vectorized I/O.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import StructType
+
+from cmoncrawl_spark.extraction import html as H
+from cmoncrawl_spark.extraction.encoding import decode_cascade
+
+
+@dataclass
+class PageMeta:
+    """Per-record context handed to plugin callables (the engine's
+    PipeMetadata analog — reference common/types.py:42-81)."""
+
+    url: str | None = None
+    record_encoding: str | None = None
+    content_type: str | None = None
+    encoding: str = "latin-1"
+    extra: dict[str, Any] = field(default_factory=dict)
+
+
+class SparkExtractor:
+    """Base extractor: subclass and override ``extract_dom`` (the
+    ``extract_soup`` analog) and optionally ``filter_raw`` /
+    ``filter_dom``; declare ``schema`` (DDL string or StructType)."""
+
+    #: output schema, e.g. "title string, body_text string"
+    schema: str | StructType = "title string"
+    forced_encoding: str | None = None
+    raise_on_encoding: bool = False
+
+    def filter_raw(self, text: str, meta: PageMeta) -> bool:
+        return True
+
+    def filter_dom(self, dom: H.Node, meta: PageMeta) -> bool:
+        return True
+
+    def extract_dom(self, dom: H.Node, meta: PageMeta) -> dict | None:
+        raise NotImplementedError
+
+    # -- engine plumbing ----------------------------------------------------
+
+    def extract_one(self, raw: bytes, meta: PageMeta) -> dict | None:
+        text, enc = decode_cascade(
+            raw,
+            forced_encoding=self.forced_encoding,
+            record_encoding=meta.record_encoding,
+            content_type=meta.content_type,
+            raise_on_encoding=self.raise_on_encoding,
+        )
+        meta.encoding = enc
+        if self.filter_raw(text, meta) is False:
+            return None
+        dom = H.parse(text)
+        if self.filter_dom(dom, meta) is False:
+            return None
+        return self.extract_dom(dom, meta)
+
+
+class TitleExtractor(SparkExtractor):
+    """The reference test-fixture extractor: {'title': soup.title}
+    (/root/reference/tests/test_extract/extractors/test_extract.py)."""
+
+    schema = "title string"
+
+    def extract_dom(self, dom: H.Node, meta: PageMeta) -> dict | None:
+        return {"title": H.title_of(dom)}
+
+
+class PageTextExtractor(SparkExtractor):
+    """title + body text + winning encoding — the engine's canonical
+    html->text stage (input_hint's byte-identical text invariant)."""
+
+    schema = "title string, body_text string, encoding string"
+
+    def extract_dom(self, dom: H.Node, meta: PageMeta) -> dict | None:
+        return {
+            "title": H.title_of(dom),
+            "body_text": H.body_text(dom),
+            "encoding": meta.encoding,
+        }
+
+
+@dataclass
+class CssField:
+    """Declarative field spec for ConfigExtractor (U2 analog)."""
+
+    selector: str
+    attr: str | None = None  # None -> text content
+
+
+class ConfigExtractor(SparkExtractor):
+    """PageExtractor analog: CSS dicts + must(_not)_exist filters
+    (reference extractor.py:208-349, filters.py:6-37)."""
+
+    def __init__(
+        self,
+        fields: dict[str, CssField],
+        must_exist: list[str] | None = None,
+        must_not_exist: list[str] | None = None,
+        schema: str | None = None,
+    ) -> None:
+        self.fields = fields
+        self.must_exist = must_exist or []
+        self.must_not_exist = must_not_exist or []
+        self.schema = schema or ", ".join(f"{k} string" for k in fields)
+
+    def filter_dom(self, dom: H.Node, meta: PageMeta) -> bool:
+        for sel in self.must_exist:
+            if not H.select(dom, sel):
+                return False
+        for sel in self.must_not_exist:
+            if H.select(dom, sel):
+                return False
+        return True
+
+    def extract_dom(self, dom: H.Node, meta: PageMeta) -> dict | None:
+        out: dict[str, Any] = {}
+        for name, spec in self.fields.items():
+            hits = H.select(dom, spec.selector)
+            if not hits:
+                out[name] = None
+            elif spec.attr:
+                out[name] = hits[0].attrs.get(spec.attr)
+            else:
+                out[name] = hits[0].text()
+        return out
+
+
+def apply_extractor(
+    df: DataFrame,
+    extractor: SparkExtractor,
+    html_col: str = "html",
+    passthrough: list[str] | None = None,
+    record_encoding_col: str | None = None,
+    content_type_col: str | None = None,
+    url_col: str | None = "url",
+) -> DataFrame:
+    """Compile an extractor into one mapInPandas stage.
+
+    Output = passthrough columns + the extractor's declared schema.
+    Rows the extractor drops (None) are filtered — the reference's
+    ``None => dropped`` contract (extractor.py:24).
+    """
+    passthrough = passthrough or []
+    in_schema = df.schema
+    extra = (
+        extractor.schema
+        if isinstance(extractor.schema, StructType)
+        else StructType.fromDDL(extractor.schema)
+    )
+    out_fields = [in_schema[c] for c in passthrough] + list(extra.fields)
+    out_schema = StructType(out_fields)
+    out_names = [f.name for f in out_fields]
+    ex_names = [f.name for f in extra.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[list] = []
+            for i in range(len(pdf)):
+                raw = pdf[html_col].iloc[i]
+                if raw is None:
+                    continue
+                meta = PageMeta(
+                    url=pdf[url_col].iloc[i] if url_col and url_col in pdf else None,
+                    record_encoding=(
+                        pdf[record_encoding_col].iloc[i]
+                        if record_encoding_col and record_encoding_col in pdf
+                        else None
+                    ),
+                    content_type=(
+                        pdf[content_type_col].iloc[i]
+                        if content_type_col and content_type_col in pdf
+                        else None
+                    ),
+                )
+                res = extractor.extract_one(bytes(raw), meta)
+                if res is None:
+                    continue
+                rows.append(
+                    [pdf[c].iloc[i] for c in passthrough]
+                    + [res.get(k) for k in ex_names]
+                )
+            yield pd.DataFrame(rows, columns=out_names)
+
+    return df.mapInPandas(run, out_schema)

@@ -1,0 +1,155 @@
+"""Minimal deterministic HTML analysis on stdlib html.parser.
+
+The container has no bs4/lxml/selectolax, so the engine ships a small,
+fully deterministic parser layer with the operations the reference's
+extractors actually use (title, body text, selector hit-tests for the
+must_exist / must_not_exist filters — SURVEY §2 F9, X10):
+
+- :func:`parse` -> a tiny DOM (tag, attrs, children, text);
+- :func:`title_of`, :func:`body_text` — the golden-fixture operations
+  (reference fixture extractor returns soup.title,
+  /root/reference/tests/test_extract/extractors/test_extract.py:10-17);
+- :func:`select` — simple CSS subset: ``tag``, ``#id``, ``.class``,
+  ``tag.class``, ``tag#id``, descendant combinator ``a b``.
+
+This is NOT a byte-for-bit bs4 clone (bs4 is unavailable here); the
+contract it honors is the engine's own golden fixtures, which datagen
+synthesizes. Swap in bs4 behind the same functions when available —
+``BS4_AVAILABLE`` gates that upgrade path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+try:  # pragma: no cover - not present in this container
+    import bs4  # noqa: F401
+
+    BS4_AVAILABLE = True
+except ImportError:
+    BS4_AVAILABLE = False
+
+_VOID = {
+    "area", "base", "br", "col", "embed", "hr", "img", "input",
+    "link", "meta", "param", "source", "track", "wbr",
+}
+
+
+@dataclass
+class Node:
+    tag: str
+    attrs: dict[str, str] = field(default_factory=dict)
+    children: list["Node | str"] = field(default_factory=list)
+
+    def text(self) -> str:
+        out: list[str] = []
+        stack: list[Node | str] = [self]
+        while stack:
+            n = stack.pop()
+            if isinstance(n, str):
+                out.append(n)
+            else:
+                stack.extend(reversed(n.children))
+        return "".join(out)
+
+    def iter(self):
+        stack: list[Node] = [self]
+        while stack:
+            n = stack.pop()
+            yield n
+            stack.extend(
+                reversed([c for c in n.children if isinstance(c, Node)])
+            )
+
+
+class _Builder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Node("[document]")
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        node = Node(tag, {k: (v or "") for k, v in attrs})
+        self.stack[-1].children.append(node)
+        if tag not in _VOID:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        self.stack[-1].children.append(
+            Node(tag, {k: (v or "") for k, v in attrs})
+        )
+
+    def handle_endtag(self, tag):
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                break
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].children.append(data)
+
+
+def parse(html: str) -> Node:
+    b = _Builder()
+    try:
+        b.feed(html)
+        b.close()
+    except Exception:
+        pass  # best-effort, like soup: keep whatever parsed
+    return b.root
+
+
+def _first(root: Node, tag: str) -> Node | None:
+    for n in root.iter():
+        if n.tag == tag:
+            return n
+    return None
+
+
+def title_of(root: Node) -> str | None:
+    t = _first(root, "title")
+    return t.text() if t is not None else None
+
+
+def body_text(root: Node) -> str:
+    """Text of <body> (whole document if no body), stripped."""
+    b = _first(root, "body")
+    return (b.text() if b is not None else root.text()).strip()
+
+
+def _match_simple(node: Node, simple: str) -> bool:
+    tag = ""
+    ident = None
+    cls = None
+    rest = simple
+    if "#" in rest:
+        tag, _, ident = rest.partition("#")
+    elif "." in rest:
+        tag, _, cls = rest.partition(".")
+    else:
+        tag = rest
+    if tag and node.tag != tag:
+        return False
+    if ident is not None and node.attrs.get("id") != ident:
+        return False
+    if cls is not None and cls not in node.attrs.get("class", "").split():
+        return False
+    return True
+
+
+def select(root: Node, selector: str) -> list[Node]:
+    """Descendant-combinator CSS subset; enough for F9 filters."""
+    parts = selector.split()
+    current = [root]
+    for simple in parts:
+        nxt: list[Node] = []
+        for base in current:
+            for n in base.iter():
+                if n is base:
+                    continue
+                if _match_simple(n, simple):
+                    nxt.append(n)
+        current = nxt
+    return current

@@ -126,7 +126,9 @@ def build_shards(
             }
         )
 
-    hashed = with_bloom_hashes(seen_ids.select(id_col).distinct(), id_col)
+    # No .distinct(): bloom insertion is idempotent, so deduping first
+    # would only add a shuffle.
+    hashed = with_bloom_hashes(seen_ids.select(id_col), id_col)
     return (
         hashed.withColumn("shard", shard_of(F.col("h1"), num_shards))
         .groupBy("shard")
@@ -193,7 +195,15 @@ def dedupe_against_seen(
     seen = seen_ids.select(id_col).distinct()
     if shards is None:
         return candidates.join(seen, on=id_col, how="left_anti")
-    probed = probe(candidates, shards, num_shards=num_shards, id_col=id_col)
+    # The bloom-negative and bloom-positive branches below both consume
+    # `probed`; left lazy, Spark re-executes the shard build + cogroup
+    # probe once per branch (and a plain .persist() races when both
+    # branches materialize inside one job). localCheckpoint computes
+    # the probe exactly once — the same materialize-once the round
+    # checkpoint (north_rule resumability) performs anyway.
+    probed = probe(
+        candidates, shards, num_shards=num_shards, id_col=id_col
+    ).localCheckpoint(eager=True)
     negatives = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
     positives = probed.where(F.col("maybe_seen")).drop("maybe_seen")
     survivors = positives.join(seen, on=id_col, how="left_anti")

@@ -153,6 +153,41 @@ def oracles() -> dict[str, str]:
         "CAST(round(sum(value) * 100) AS BIGINT) AS value_cents "
         "FROM events GROUP BY event_type, date_trunc('hour', ts)"
     )
+    # Extraction oracle predicts the extractor's output from the
+    # components the html was synthesized from (datagen.synthesize_
+    # html_bytes): garbage rows (doc_id % 101 = 0) fall through the
+    # cascade to ISO-8859-1/latin-1; CRLF rows (doc_id % 13 = 0) embed
+    # a normalized \n inside the body text.
+    o["q_extract_page"] = (
+        "SELECT doc_id, "
+        "CASE WHEN doc_id % 101 = 0 THEN NULL "
+        "ELSE 'Doc ' || CAST(doc_id AS STRING) END AS title, "
+        "CASE WHEN doc_id % 101 = 0 THEN "
+        "chr(129) || chr(129) || chr(130) || chr(131) "
+        "ELSE text || (CASE WHEN doc_id % 13 = 0 THEN chr(10) "
+        "ELSE ' ' END) || 'end' END AS body_text, "
+        "CASE WHEN doc_id % 101 = 0 THEN "
+        "  (CASE WHEN lang IN ('es', 'fr') THEN 'ISO-8859-1' "
+        "   ELSE 'latin-1' END) "
+        "ELSE (CASE lang WHEN 'zh' THEN 'UTF-8' "
+        "      WHEN 'de' THEN 'windows-1250' WHEN 'es' THEN 'ISO-8859-1' "
+        "      WHEN 'fr' THEN 'ISO-8859-1' ELSE 'UTF-8' END) END AS encoding "
+        "FROM documents"
+    )
+    o["q_route_match"] = with_crawl_ctes(
+        r"""
+        SELECT url, warc_ts,
+          CASE
+            WHEN regexp_matches(url, 'hot-domain\.com')
+                 AND warc_ts >= TIMESTAMP '2021-01-01 00:00:00'
+                 AND warc_ts < TIMESTAMP '2024-01-01 00:00:00' THEN 'hot'
+            WHEN regexp_matches(url, 'example\d+\.org') THEN 'org'
+            WHEN warc_ts >= TIMESTAMP '2022-01-01 00:00:00' THEN 'rest'
+            ELSE 'NO_ROUTE'
+          END AS route
+        FROM pages
+        """
+    )
     o["q_cosine_topk"] = """
         WITH q AS (
           SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings

@@ -218,6 +218,50 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------- extraction/route
+
+
+def q_extract_page(spark, sf_dir):
+    """Encoding cascade + HTML parse + title/body extraction, fused in
+    one mapInPandas stage over html:binary (input_hint invariant)."""
+    from cmoncrawl_spark.datagen import pages_with_html
+    from cmoncrawl_spark.extraction.extractor import (
+        PageTextExtractor,
+        apply_extractor,
+    )
+
+    df = pages_with_html(spark, sf_dir)
+    out = apply_extractor(
+        df,
+        PageTextExtractor(),
+        passthrough=["doc_id"],
+        record_encoding_col="record_encoding",
+    )
+    return out.select("doc_id", "title", "body_text", "encoding")
+
+
+def q_route_match(spark, sf_dir):
+    """J1 first-match-wins routing as a generated CASE WHEN chain."""
+    from cmoncrawl_spark.operators.routing import Route, route_records
+
+    register_crawl_views(spark, sf_dir)
+    routes = [
+        Route(
+            "hot",
+            [r"hot-domain\.com"],
+            since=datetime(2021, 1, 1),
+            to=datetime(2024, 1, 1),
+        ),
+        Route("org", [r"example\d+\.org"]),
+        Route("rest", [r".*"], since=datetime(2022, 1, 1)),
+    ]
+    return route_records(
+        spark.table("pages").select("url", "warc_ts"),
+        routes,
+        no_match="NO_ROUTE",
+    ).select("url", "warc_ts", "route")
+
+
 # ------------------------------------------------------------- similarity
 
 

@@ -21,20 +21,45 @@ import sys
 
 WORKER = r"""
 import json, os, sys, time
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)) if "__file__" in dir() else ".")
 sys.path.insert(0, "/root/repo")
-from cmoncrawl_spark import queries as q
+from pyspark.sql import functions as F
 from cmoncrawl_spark.session import get_spark
+from cmoncrawl_spark.datagen import register_crawl_views, with_crawl_ctes
+from cmoncrawl_spark.operators import bloom as bloom_ops
+from cmoncrawl_spark.operators.frontier import scheduling_round
 
 cores = int(sys.argv[1]); sf_dir = sys.argv[2]; reps = int(sys.argv[3])
+amplify = int(os.environ.get("SCALING_AMPLIFY", "20"))
 spark = get_spark("scaling-bench", cores=cores, shuffle_partitions=cores)
 spark.sparkContext.setLogLevel("ERROR")
-q.q_token_count(spark, sf_dir).count()  # warm-up
-n_urls = spark.table("documents").count()
+register_crawl_views(spark, sf_dir)
+
+# Amplified frontier: each page spawns `amplify` distinct-canonical
+# URLs (path variant ends in a letter so ids stay distinct) so the
+# round's per-core work dominates fixed overhead — the same shape a
+# 10^10-URL frontier has at cluster scale.
+frontier = spark.sql(with_crawl_ctes(
+    "SELECT 'https://' || www || base_host || path || '/v' "
+    "|| CAST(i AS STRING) || 'x' AS url, depth, priority "
+    "FROM pages CROSS JOIN "
+    f"(SELECT explode(sequence(1, {amplify})) AS i)"))
+# A real 10^10-URL frontier arrives as many Iceberg data files; the
+# synthetic one collapses into 1-2 tasks (tiny parquet + explode), which
+# would serialize every map stage. Fixed 128 partitions at BOTH core
+# counts keeps the comparison fair.
+frontier = frontier.repartition(128).localCheckpoint(eager=True)
+n_urls = frontier.count()
+seen = spark.table("seen")
+policies = spark.table("host_policies")
+shards = bloom_ops.build_shards(seen, num_shards=32,
+                                expected_per_shard=200_000).localCheckpoint(eager=True)
+shards.count()
+
 best = None
 for _ in range(reps):
     t0 = time.monotonic()
-    q.q_frontier_round(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    scheduling_round(frontier, seen, policies, bloom_shards=shards,
+                     num_shards=32).write.format("noop").mode("overwrite").save()
     dt = time.monotonic() - t0
     best = dt if best is None else min(best, dt)
 print(json.dumps({"cores": cores, "sec": best, "input_urls": n_urls}))

@@ -1,0 +1,157 @@
+"""Encoding cascade + HTML extraction + routing tests.
+
+Encoding cases mirror the reference's own unit tests
+(/root/reference/tests/processor_test.py:145-189) — same inputs, same
+expected winning encodings.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cmoncrawl_spark.extraction import html as H
+from cmoncrawl_spark.extraction.encoding import decode_cascade, http_charset
+
+HTML = "<html><body><p>test</p></body></html>".encode("latin-1")
+NON_UTF8 = bytes([0x81, 0x81, 0x82, 0x83])
+
+
+def test_cascade_default_utf8():
+    text, enc = decode_cascade(HTML)
+    assert enc == "utf-8"
+    assert "test" in text
+
+
+def test_cascade_record_encoding_priority():
+    text, enc = decode_cascade(HTML, record_encoding="latin-1")
+    assert enc == "latin-1"
+
+
+def test_cascade_forced_overrides_record():
+    _, enc = decode_cascade(HTML, forced_encoding="utf-8", record_encoding="latin-1")
+    assert enc == "utf-8"
+
+
+def test_cascade_fallback_latin1():
+    text, enc = decode_cascade(NON_UTF8)
+    assert enc == "latin-1"
+    assert text == "\x81\x81\x82\x83"
+
+
+def test_cascade_raise_on_encoding():
+    with pytest.raises(ValueError):
+        decode_cascade(NON_UTF8, raise_on_encoding=True)
+
+
+def test_cascade_crlf_normalized():
+    text, enc = decode_cascade(b"a\r\nb")
+    assert text == "a\nb"
+
+
+def test_cascade_http_charset():
+    _, enc = decode_cascade(HTML, content_type="text/html; charset=latin-1")
+    assert enc == "latin-1"
+    assert http_charset("text/html") is None
+    assert http_charset(None) is None
+
+
+def test_cascade_unknown_encoding_skipped():
+    _, enc = decode_cascade(HTML, record_encoding="not-a-codec")
+    assert enc == "utf-8"
+
+
+def test_html_title_and_body():
+    dom = H.parse("<html><head><title>T1</title></head><body><p>a</p><p>b</p></body></html>")
+    assert H.title_of(dom) == "T1"
+    assert H.body_text(dom) == "ab"
+
+
+def test_html_no_title():
+    dom = H.parse("garbage no tags")
+    assert H.title_of(dom) is None
+    assert H.body_text(dom) == "garbage no tags"
+
+
+def test_html_select():
+    dom = H.parse(
+        '<div class="x"><span id="s">hi</span></div><p class="x y">t</p>'
+    )
+    assert len(H.select(dom, ".x")) == 2
+    assert H.select(dom, "#s")[0].text() == "hi"
+    assert H.select(dom, "div span")[0].text() == "hi"
+    assert H.select(dom, "p.y")[0].text() == "t"
+    assert H.select(dom, "nope") == []
+
+
+def test_config_extractor_filters():
+    from cmoncrawl_spark.extraction.extractor import (
+        ConfigExtractor,
+        CssField,
+        PageMeta,
+    )
+
+    ex = ConfigExtractor(
+        fields={"t": CssField("title")},
+        must_exist=["body"],
+        must_not_exist=[".paywall"],
+    )
+    ok = "<html><head><title>x</title></head><body>y</body></html>".encode()
+    assert ex.extract_one(ok, PageMeta()) == {"t": "x"}
+    nobody = "<html><head><title>x</title></head></html>".encode()
+    assert ex.extract_one(nobody, PageMeta()) is None
+    paywalled = (
+        '<html><head><title>x</title></head><body><div class="paywall"/>'
+        "</body></html>"
+    ).encode()
+    assert ex.extract_one(paywalled, PageMeta()) is None
+
+
+def test_apply_extractor_spark(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cmoncrawl_spark.datagen import pages_with_html
+    from cmoncrawl_spark.extraction.extractor import (
+        TitleExtractor,
+        apply_extractor,
+    )
+
+    df = pages_with_html(spark, sf_dir).limit(50)
+    out = apply_extractor(
+        df, TitleExtractor(), passthrough=["doc_id"],
+        record_encoding_col="record_encoding",
+    )
+    rows = out.collect()
+    assert len(rows) == 50
+    for r in rows:
+        if r["doc_id"] % 101 == 0:
+            assert r["title"] is None
+        else:
+            assert r["title"] == f"Doc {r['doc_id']}"
+
+
+def test_routing_first_match_wins(spark):
+    from datetime import datetime
+
+    from cmoncrawl_spark.operators.routing import Route, route_records
+
+    df = spark.createDataFrame(
+        [
+            ("https://a.example.com/x", datetime(2022, 6, 1)),
+            ("https://b.other.org/y", datetime(2022, 6, 1)),
+            ("https://a.example.com/x", datetime(2019, 1, 1)),
+        ],
+        ["url", "warc_ts"],
+    )
+    routes = [
+        Route("A", [r"example\.com"], since=datetime(2020, 1, 1)),
+        Route("B", [r"\.org"]),
+        Route("C", [r"example\.com"]),  # shadowed by A within interval
+    ]
+    got = {
+        (r["url"], str(r["warc_ts"])): r["route"]
+        for r in route_records(df, routes, no_match="NONE").collect()
+    }
+    assert got[("https://a.example.com/x", "2022-06-01 00:00:00")] == "A"
+    assert got[("https://b.other.org/y", "2022-06-01 00:00:00")] == "B"
+    # outside A's interval the later registration C catches it
+    assert got[("https://a.example.com/x", "2019-01-01 00:00:00")] == "C"
