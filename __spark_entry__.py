@@ -49,6 +49,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_hourly": q.q_events_hourly,
         "q_extract_page": q.q_extract_page,
         "q_route_match": q.q_route_match,
+        "q_minhash_dedup": q.q_minhash_dedup,
+        "q_simhash": q.q_simhash,
+        "q_ngram_jaccard": q.q_ngram_jaccard,
+        "q_embed_dup_pairs": q.q_embed_dup_pairs,
         "q_cosine_topk": q.q_cosine_topk,
     }
 

@@ -1,0 +1,281 @@
+"""Document deduplication for training-data pipelines.
+
+Four flavors, each a `queries()` entry:
+
+- exact: content-hash groupBy (queries.q_exact_dedup_docs);
+- MinHash + LSH banding: shingle -> minhash signature -> band buckets
+  -> candidate pairs -> EXACT Jaccard verify. Everything up to the
+  verify is native Catalyst expressions (xxhash64 + higher-order
+  functions) — no Python anywhere, fully codegen'd;
+- SimHash: JVM-side token hashing, numpy bit-vote in one Arrow UDF;
+- n-gram Jaccard: exact pair similarity via array_intersect/union.
+
+Scale notes: LSH turns the O(n^2) pair problem into groupBy(band,
+bucket) — a single shuffle keyed by band hash. The exact verify join
+only sees co-bucketed candidates. Dedup of a 100 TB corpus is the
+textbook use (MinHashLSH as in Lee et al., "Deduplicating Training
+Data Makes Language Models Better").
+
+Determinism: hash seeds are fixed constants; the minhash permutations
+are (a_j * h + b_j) mod P with a/b derived from a seeded recurrence —
+same signature on every run and cluster size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime universe. 31-bit so (a * h') + b stays < 2^63 under
+# ANSI mode (Spark 4 default): a,b,h' < 2^31 => a*h' < 2^62.
+_P = (1 << 31) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs via a seeded LCG (no RNG state)."""
+    params = []
+    x = seed
+    for _ in range(num_perm):
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
+        a = (x % (_P - 1)) + 1
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
+        b = x % _P
+        params.append((a, b))
+    return params
+
+
+def shingles(text_col: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles as an array<string> — native exprs."""
+    words = F.split(text_col, " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+    return F.array_distinct(sh)
+
+
+def shingle_hashes(text_col: Column, k: int = 3) -> Column:
+    """xxhash64 of each distinct shingle (array<bigint>), JVM-side."""
+    return F.transform(shingles(text_col, k), lambda s: F.xxhash64(s))
+
+
+def minhash_signature(
+    hashes_col: Column, num_perm: int = 32, seed: int = 7
+) -> Column:
+    """array<bigint> signature: min((a * (h mod P) + b) mod P) per
+    permutation — overflow-free under ANSI mode."""
+    sig = [
+        F.array_min(
+            F.transform(
+                hashes_col,
+                lambda h: F.pmod(F.lit(a) * F.pmod(h, F.lit(_P)) + F.lit(b), F.lit(_P)),
+            )
+        )
+        for a, b in _perm_params(num_perm, seed)
+    ]
+    return F.array(*sig)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) via LSH banding.
+
+    One wide projection (signature), one explode (bands), one
+    self-join on (band_idx, band_hash). Returns distinct (a, b).
+    """
+    rows = num_perm // bands
+    sig = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            minhash_signature(shingle_hashes(F.col(text_col), k), num_perm)
+            .alias("sig"),
+        )
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows + 1, rows),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard(a_hashes: Column, b_hashes: Column) -> Column:
+    inter = F.size(F.array_intersect(a_hashes, b_hashes))
+    union = F.size(F.array_union(a_hashes, b_hashes))
+    return inter / union
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    k: int = 3,
+    num_perm: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """LSH candidates verified with EXACT Jaccard >= threshold.
+
+    Output (a, b, jac) — with bands/rows generous for the threshold,
+    recall is deterministic-complete on well-separated corpora, and
+    the exact verify removes every false candidate, so the result
+    equals the O(n^2) oracle.
+    """
+    cand = lsh_candidate_pairs(docs, id_col, text_col, k, num_perm, bands)
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        shingle_hashes(F.col(text_col), k).alias("hashes"),
+    )
+    return (
+        cand.join(sh.withColumnRenamed("id", "a").withColumnRenamed("hashes", "ha"), "a")
+        .join(sh.withColumnRenamed("id", "b").withColumnRenamed("hashes", "hb"), "b")
+        .withColumn("jac", jaccard(F.col("ha"), F.col("hb")))
+        .where(F.col("jac") >= threshold)
+        .select("a", "b", (F.round(F.col("jac") * 1000)).cast("long").alias("jac_milli"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for given (a, b) pairs — the non-LSH
+    primitive (useful for verification / small candidate sets)."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
+    )
+    return (
+        pairs.join(sh.withColumnRenamed("id", "a").withColumnRenamed("sh", "sa"), "a")
+        .join(sh.withColumnRenamed("id", "b").withColumnRenamed("sh", "sb"), "b")
+        .select(
+            "a",
+            "b",
+            (F.round(jaccard(F.col("sa"), F.col("sb")) * 1000))
+            .cast("long")
+            .alias("jac_milli"),
+        )
+    )
+
+
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash: JVM-side token xxhash64, numpy bit-vote UDF.
+
+    The only Python is one vectorized Arrow batch op (unpack bits of
+    the token-hash matrix, sign of the column sums).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _simhash_fn(hash_arrays):
+        out = []
+        for arr in hash_arrays:
+            if arr is None or len(arr) == 0:
+                out.append(0)
+                continue
+            h = np.asarray(arr, dtype=np.uint64)
+            bits = np.unpackbits(h.view(np.uint8)).reshape(len(h), 64)
+            votes = bits.sum(axis=0) * 2 - len(h)  # +1/-1 per token
+            val = np.packbits((votes > 0).astype(np.uint8)).view(np.uint64)[0]
+            out.append(int(val.astype(np.int64)))  # two's-complement to long
+        return pd.Series(out)
+
+    _simhash = pandas_udf(_simhash_fn, "long")
+    tokens_hashed = F.transform(
+        F.array_distinct(F.split(F.col(text_col), " ")),
+        lambda w: F.xxhash64(w),
+    )
+    return docs.select(
+        F.col(id_col), _simhash(tokens_hashed).alias("simhash64")
+    )
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Pigeonhole blocking: split the 64-bit hash into ``blocks`` chunks;
+    any pair within distance < blocks shares at least one exact chunk,
+    so the self-join keys on (block_idx, chunk) — no O(n^2).
+    """
+    width = 64 // blocks
+    sh = simhash(docs, id_col, text_col)
+    mask = (1 << width) - 1
+    block_structs = [
+        F.struct(
+            F.lit(i).alias("blk"),
+            F.shiftrightunsigned(F.col("simhash64"), i * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("chunk"),
+        )
+        for i in range(blocks)
+    ]
+    chunks = sh.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash64"),
+        F.explode(F.array(*block_structs)).alias("c"),
+    ).select(
+        "id",
+        "simhash64",
+        F.col("c.blk").alias("blk"),
+        F.col("c.chunk").alias("chunk"),
+    )
+    l, r = chunks.alias("l"), chunks.alias("r")
+    ham = F.bit_count(F.col("l.simhash64").bitwiseXOR(F.col("r.simhash64")))
+    return (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .where(ham <= max_hamming)
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )

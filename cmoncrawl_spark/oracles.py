@@ -188,6 +188,65 @@ def oracles() -> dict[str, str]:
         FROM pages
         """
     )
+    # Near-dup corpus: docs + last-2-words-dropped copies; shingle
+    # Jaccard computed on string shingles (Spark side hashes them —
+    # same cardinalities absent xxhash64 collisions).
+    _docs2_sized = """
+    WITH docs2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(list_slice(string_split(text, ' '), 1,
+                 greatest(len(string_split(text, ' ')) - 2, 1)), ' ') AS text
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+               i -> array_to_string(
+                      list_slice(string_split(text, ' '), i, i + 2), ' ')))
+               AS sh
+      FROM docs2
+    ),
+    sized AS (SELECT doc_id, sh, len(sh) AS n FROM sh)
+    """
+    o["q_minhash_dedup"] = (
+        _docs2_sized
+        + """
+        SELECT a, b, CAST(round(jac * 1000.0) AS BIGINT) AS jac_milli FROM (
+          SELECT a.doc_id AS a, b.doc_id AS b,
+                 len(list_intersect(a.sh, b.sh)) * 1.0 /
+                 (a.n + b.n - len(list_intersect(a.sh, b.sh))) AS jac
+          FROM sized a JOIN sized b
+            ON a.doc_id < b.doc_id
+           AND least(a.n, b.n) * 1.0 >= 0.6 * greatest(a.n, b.n)) t
+        WHERE jac >= 0.6
+        """
+    )
+    o["q_ngram_jaccard"] = (
+        _docs2_sized
+        + """
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               CAST(round((len(list_intersect(a.sh, b.sh)) * 1.0 /
+                 (a.n + b.n - len(list_intersect(a.sh, b.sh)))) * 1000.0)
+                 AS BIGINT) AS jac_milli
+        FROM sized a JOIN sized b ON b.doc_id = a.doc_id + 1000000
+        """
+    )
+    o["q_embed_dup_pairs"] = """
+        WITH vecs2 AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings
+        )
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM vecs2 a JOIN vecs2 b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) *
+               sqrt(list_dot_product(b.v, b.v))) >= 0.99
+    """
     o["q_cosine_topk"] = """
         WITH q AS (
           SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings

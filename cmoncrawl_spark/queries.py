@@ -116,6 +116,64 @@ def q_exact_dedup_docs(spark, sf_dir):
     )
 
 
+_DOCS2_SPARK = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id,
+       concat_ws(' ', slice(split(text, ' '), 1,
+                            greatest(size(split(text, ' ')) - 2, 1))) AS text
+FROM documents
+"""
+
+
+def _docs2(spark, sf_dir):
+    """Near-dup test corpus: every doc + a copy with the last 2 words
+    dropped (high-Jaccard pair). Portably mirrored in oracles.py."""
+    load_tables(spark, sf_dir, ("documents",))
+    return spark.sql(_DOCS2_SPARK)
+
+
+def q_minhash_dedup(spark, sf_dir):
+    """MinHash-LSH candidates + exact-Jaccard verify (>= 0.6)."""
+    from cmoncrawl_spark.operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(_docs2(spark, sf_dir), threshold=0.6)
+
+
+def q_simhash(spark, sf_dir):
+    """64-bit SimHash per doc (no oracle: xxhash64 is Spark-specific;
+    driver records rows-only). Pair detection tested in pytest."""
+    from cmoncrawl_spark.operators.dedup import simhash
+
+    return simhash(_docs2(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard of each (doc, mutated-doc) pair."""
+    from cmoncrawl_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs2 = _docs2(spark, sf_dir)
+    pairs = spark.table("documents").select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") + 1000000).alias("b")
+    )
+    return ngram_jaccard_pairs(docs2, pairs)
+
+
+def q_embed_dup_pairs(spark, sf_dir):
+    """Embedding near-dup: sign-LSH buckets + exact cosine >= 0.99."""
+    from cmoncrawl_spark.operators.similarity import cosine_dup_pairs
+
+    load_tables(spark, sf_dir, ("embeddings",))
+    vecs2 = spark.sql(
+        """
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+        """
+    )
+    return cosine_dup_pairs(vecs2, threshold=0.99)
+
+
 # ------------------------------------------------------------------- frontier
 
 
