@@ -50,6 +50,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_extract_page": q.q_extract_page,
         "q_route_match": q.q_route_match,
         "q_minhash_dedup": q.q_minhash_dedup,
+        "q_bpe_token_count": q.q_bpe_token_count,
+        "q_lang_id": q.q_lang_id,
+        "q_rolling_fingerprint": q.q_rolling_fingerprint,
+        "q_image_features": q.q_image_features,
         "q_simhash": q.q_simhash,
         "q_ngram_jaccard": q.q_ngram_jaccard,
         "q_embed_dup_pairs": q.q_embed_dup_pairs,

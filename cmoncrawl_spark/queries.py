@@ -252,6 +252,48 @@ def q_lang_agg(spark, sf_dir):
     )
 
 
+def q_bpe_token_count(spark, sf_dir):
+    """Sub-word-ish token counting (regex BPE approximation)."""
+    from cmoncrawl_spark.operators.textstats import bpe_ish_token_count
+
+    load_tables(spark, sf_dir, ("documents",))
+    return spark.table("documents").select(
+        "doc_id", bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens")
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """Heuristic language-ID (no oracle: argmax over profile scores is
+    painful in portable SQL; driver records rows-only; pytest pins the
+    per-language behavior)."""
+    from cmoncrawl_spark.operators.textstats import lang_id
+
+    load_tables(spark, sf_dir, ("documents",))
+    return spark.table("documents").select(
+        "doc_id", lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+def q_rolling_fingerprint(spark, sf_dir):
+    """Winnowing-lite rolling-hash fingerprint (no oracle: xxhash64)."""
+    from cmoncrawl_spark.operators.textstats import rolling_fingerprint
+
+    load_tables(spark, sf_dir, ("documents",))
+    return spark.table("documents").select(
+        "doc_id", rolling_fingerprint(F.col("text")).alias("fp64")
+    )
+
+
+def q_image_features(spark, sf_dir):
+    """Multimodal plumbing: synthetic media -> Arrow-batched feature
+    extraction (decode stubbed; no oracle — binary payloads)."""
+    from cmoncrawl_spark.operators.multimodal import image_features, synth_media
+
+    return image_features(synth_media(spark, 64)).select(
+        "media_id", F.round(F.element_at("feat_mean", 1), 3).alias("mean_r")
+    )
+
+
 def q_doc_fingerprint(spark, sf_dir):
     load_tables(spark, sf_dir, ("documents",))
     return spark.table("documents").select(

@@ -1,0 +1,81 @@
+"""Sinks (SURVEY §2 K1-K3).
+
+K1 — JSONL with rotation: the reference streams one sorted-keys JSON
+object per line, rotating files every ``max_file_size`` records
+(/root/reference/cmoncrawl/processor/pipeline/streamer.py:187-212,
+rotation :133-159; ``sort_keys=True, ensure_ascii=False, default=str``
+at :205-212).
+
+Spark-first: rotation is the ``maxRecordsPerFile`` write option (the
+executor-side equivalent of the reference's counter), and the exact
+line format is ``to_json(struct(<columns sorted by name>))`` — JVM
+serialization, no Python. Key order inside nested maps follows column
+order, which we pin by sorting column names — matching
+``sort_keys=True`` for flat records.
+
+K2 — per-record HTML files: partitioned text write.
+K3 — memory sink: collect/toPandas (debug only, documented as such).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def jsonl_lines(df: DataFrame) -> DataFrame:
+    """One sorted-keys JSON string per row (column ``value``)."""
+    cols = sorted(df.columns)
+    return df.select(
+        F.to_json(F.struct(*[F.col(c) for c in cols])).alias("value")
+    )
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    max_file_size: int = 500_000,
+    partitions: int | None = None,
+) -> None:
+    """K1 — rotated JSONL. max_file_size mirrors the reference default
+    of 500k records/file (integrations/download.py:52-57)."""
+    out = jsonl_lines(df)
+    if partitions:
+        out = out.repartition(partitions)
+    (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_file_size)
+        .text(path)
+    )
+
+
+def write_html_files(df: DataFrame, path: str, url_col: str = "url") -> None:
+    """K2 — one html file per record; name = url with '/'->'_',
+    truncated to 100 chars (extractor.py:148-152)."""
+    named = df.select(
+        F.substring(F.translate(F.col(url_col), "/", "_"), 1, 100).alias(
+            "name"
+        ),
+        F.col("html").cast("string").alias("value"),
+    )
+    named.write.mode("overwrite").partitionBy("name").text(path)
+
+
+def to_memory(df: DataFrame) -> list[dict]:
+    """K3 — debug sink (driver-side; never use in a pipeline)."""
+    return [row.asDict() for row in df.collect()]
+
+
+def read_jsonl_output(spark, path: str):
+    return spark.read.text(path)
+
+
+def count_output_files(path: str) -> int:
+    n = 0
+    for root, _dirs, files in os.walk(path):
+        n += sum(
+            1 for f in files if f.startswith("part-") and not f.endswith(".crc")
+        )
+    return n

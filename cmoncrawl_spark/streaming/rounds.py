@@ -1,0 +1,198 @@
+"""Multi-round crawl driver: checkpointed, resumable scheduling rounds.
+
+north_rule requirements implemented here:
+- each round is ONE pure DataFrame job (operators/frontier.py);
+- per-partition bloom shards, frontier state and metrics are
+  checkpointed after every round with lineage columns (round_id);
+- a killed driver resumes from the last committed round (resume test
+  in tests/test_rounds.py);
+- the URL-seen set grows only from SUCCESSFUL fetches — the
+  reference's add-after-success gate
+  (/root/reference/cmoncrawl/middleware/synchronized.py:36-41).
+
+Storage: every table is a directory of parquet under ``state_dir``
+behind the tiny :class:`StateStore` facade. On a production cluster
+the same facade writes Iceberg tables (``writeTo(...).append()`` /
+snapshot commit); parquet keeps this sandbox hermetic — the commit
+protocol (write new round dir, then write _round marker) gives the
+same crash-consistency the Iceberg snapshot would.
+
+Bloom shards are MERGED, not rebuilt: blobs with identical (m, k)
+OR together, so a round only hashes ITS new ids — O(round), not
+O(frontier history).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cmoncrawl_spark.operators import bloom as bloom_ops
+from cmoncrawl_spark.operators.frontier import (
+    canonicalize,
+    round_metrics,
+    scheduling_round,
+)
+
+
+class StateStore:
+    """Parquet-dir state with an atomic round marker (Iceberg-shaped)."""
+
+    def __init__(self, spark: SparkSession, state_dir: str) -> None:
+        self.spark = spark
+        self.dir = state_dir
+        os.makedirs(state_dir, exist_ok=True)
+
+    def _path(self, name: str, round_id: int) -> str:
+        return os.path.join(self.dir, name, f"round={round_id}")
+
+    def write(self, name: str, round_id: int, df: DataFrame) -> None:
+        df.write.mode("overwrite").parquet(self._path(name, round_id))
+
+    def read(self, name: str, round_id: int) -> DataFrame:
+        return self.spark.read.parquet(self._path(name, round_id))
+
+    def commit_round(self, round_id: int, info: dict) -> None:
+        """Marker write is the commit point (rename-free but single
+        small file — last)."""
+        with open(os.path.join(self.dir, f"_round_{round_id}.json"), "w") as f:
+            json.dump(info, f)
+
+    def last_committed_round(self) -> int:
+        rounds = [
+            int(f[len("_round_") : -len(".json")])
+            for f in os.listdir(self.dir)
+            if f.startswith("_round_") and f.endswith(".json")
+        ]
+        return max(rounds, default=-1)
+
+
+def merge_bloom_shards(old: DataFrame, new: DataFrame) -> DataFrame:
+    """OR together shard blobs with identical (m_bits, k_hashes)."""
+    import numpy as np
+    import pandas as pd
+
+    def _merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        blobs = [np.frombuffer(b, dtype=np.uint8) for b in pdf["bloom"]]
+        out = blobs[0].copy()
+        for b in blobs[1:]:
+            out |= b
+        return pd.DataFrame(
+            {
+                "shard_id": [int(key[0])],
+                "bloom": [out.tobytes()],
+                "n_items": [int(pdf["n_items"].sum())],
+                "m_bits": [int(pdf["m_bits"].iloc[0])],
+                "k_hashes": [int(pdf["k_hashes"].iloc[0])],
+            }
+        )
+
+    both = old.unionByName(new)
+    return both.groupBy("shard_id").applyInPandas(
+        lambda key, pdf: _merge(key, pdf), bloom_ops.BLOOM_SHARD_SCHEMA
+    )
+
+
+def run_round(
+    store: StateStore,
+    round_id: int,
+    frontier: DataFrame,
+    host_policies: DataFrame,
+    num_shards: int = 32,
+    fetch_success: F.Column | None = None,
+) -> DataFrame:
+    """Run + commit one scheduling round; returns the fetch list.
+
+    frontier: candidates for THIS round (url, depth, priority).
+    fetch_success: predicate simulating fetch outcome (default: all
+    succeed). Only successful urls' canonical ids enter the seen set —
+    failed ones stay eligible for the next round (reference gate).
+    """
+    spark = store.spark
+    if round_id == 0:
+        seen = spark.createDataFrame([], "url_id string")
+        shards = None
+    else:
+        seen = store.read("seen", round_id - 1)
+        shards = store.read("bloom_shards", round_id - 1)
+
+    fetch_list = scheduling_round(
+        frontier,
+        seen,
+        host_policies,
+        bloom_shards=shards,
+        num_shards=num_shards,
+    ).localCheckpoint(eager=True)
+
+    ok = fetch_list.where(fetch_success if fetch_success is not None else F.lit(True))
+    new_ids = ok.select("url_id").distinct()
+    new_seen = seen.unionByName(new_ids).distinct()
+    new_shard_df = bloom_ops.build_shards(new_ids, num_shards=num_shards)
+    merged = (
+        new_shard_df
+        if shards is None
+        else merge_bloom_shards(shards, new_shard_df)
+    )
+
+    metrics = round_metrics(frontier, fetch_list).withColumn(
+        "round_id", F.lit(round_id)
+    )
+
+    store.write("fetch_list", round_id, fetch_list)
+    store.write("seen", round_id, new_seen)
+    store.write("bloom_shards", round_id, merged)
+    store.write("metrics", round_id, metrics)
+    store.commit_round(
+        round_id,
+        {
+            "round_id": round_id,
+            "scheduled": fetch_list.count(),
+            "seen_total": new_seen.count(),
+        },
+    )
+    return fetch_list
+
+
+def expand_links(fetch_list: DataFrame, fanout: int = 2) -> DataFrame:
+    """Deterministic synthetic link discovery: each fetched page links
+    to `fanout` children one level deeper on the same host (test/bench
+    stand-in for real HTML link extraction — at production the link
+    column comes from the extraction stage)."""
+    child = F.explode(F.sequence(F.lit(1), F.lit(fanout))).alias("i")
+    exploded = fetch_list.select(
+        "url", "depth", "priority", child
+    )
+    return exploded.select(
+        F.concat(
+            F.col("url"), F.lit("/child"), F.col("i").cast("string"), F.lit("x")
+        ).alias("url"),
+        (F.col("depth") + 1).alias("depth"),
+        (F.col("priority") / 2).alias("priority"),
+    )
+
+
+def run_crawl(
+    store: StateStore,
+    seeds: DataFrame,
+    host_policies: DataFrame,
+    rounds: int,
+    num_shards: int = 32,
+    fanout: int = 2,
+    resume: bool = True,
+) -> int:
+    """Drive `rounds` scheduling rounds with link expansion; resumes
+    after the last committed round when `resume`."""
+    start = store.last_committed_round() + 1 if resume else 0
+    if start == 0:
+        frontier = seeds
+    else:
+        frontier = expand_links(
+            store.read("fetch_list", start - 1), fanout=fanout
+        )
+    for r in range(start, rounds):
+        fetch = run_round(store, r, frontier, host_policies, num_shards)
+        frontier = expand_links(fetch, fanout=fanout)
+    return store.last_committed_round()
