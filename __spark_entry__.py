@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_route_match": q.q_route_match,
         "q_minhash_dedup": q.q_minhash_dedup,
         "q_bpe_token_count": q.q_bpe_token_count,
+        "q_cache_key": q.q_cache_key,
         "q_lang_id": q.q_lang_id,
         "q_rolling_fingerprint": q.q_rolling_fingerprint,
         "q_image_features": q.q_image_features,

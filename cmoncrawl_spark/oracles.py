@@ -144,6 +144,12 @@ def oracles() -> dict[str, str]:
         "SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars, "
         "min(doc_id) AS min_doc FROM documents GROUP BY lang"
     )
+    o["q_cache_key"] = with_crawl_ctes(
+        "SELECT url, sha256(warc_filename || '|' || "
+        "CAST(warc_record_offset AS STRING) || '|' || "
+        "CAST(warc_record_length AS STRING)) || '.bin' AS cache_key "
+        "FROM ccindex"
+    )
     o["q_bpe_token_count"] = (
         "SELECT doc_id, CAST(len(regexp_extract_all(text, "
         r"'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens "

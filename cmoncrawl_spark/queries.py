@@ -252,6 +252,21 @@ def q_lang_agg(spark, sf_dir):
     )
 
 
+def q_cache_key(spark, sf_dir):
+    """X7 — sha256 byte-cache key over the index projection."""
+    from cmoncrawl_spark.functions.scalars import cache_key
+
+    register_crawl_views(spark, sf_dir)
+    return spark.table("ccindex").select(
+        "url",
+        cache_key(
+            F.col("warc_filename"),
+            F.col("warc_record_offset"),
+            F.col("warc_record_length"),
+        ).alias("cache_key"),
+    )
+
+
 def q_bpe_token_count(spark, sf_dir):
     """Sub-word-ish token counting (regex BPE approximation)."""
     from cmoncrawl_spark.operators.textstats import bpe_ish_token_count
