@@ -67,20 +67,31 @@ def per_host_topk(
     df: DataFrame,
     budget_col: str = "budget",
     salt_buckets: int = 16,
+    budget_cap: int | None = None,
 ) -> DataFrame:
     """Salted two-phase per-host top-k under the total order.
 
     Output = rows with rank <= budget per host, plus their exact
     ``fetch_rank``. Equivalent to one Window.partitionBy(host) rank;
     survives hot-host skew (SURVEY §4 shuffle strategy, §7 R4).
+
+    ``budget_cap`` (a CONSTANT upper bound on any host's budget, e.g.
+    max over the policies table) additionally enables Spark's
+    WindowGroupLimit: the rank filter becomes ``rn <= cap AND rn <=
+    budget``, and the constant half is applied in Partial mode BEFORE
+    the phase-1 exchange — a hot host ships at most cap rows per input
+    partition per salt instead of its whole candidate set.
     """
     salted = df.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col("url_id")), F.lit(salt_buckets))
     )
     w1 = Window.partitionBy("host", "_salt").orderBy(*_order_keys())
+    cond1 = F.col("_rn1") <= F.col(budget_col)
+    if budget_cap is not None:
+        cond1 = (F.col("_rn1") <= F.lit(budget_cap)) & cond1
     phase1 = (
         salted.withColumn("_rn1", F.row_number().over(w1))
-        .where(F.col("_rn1") <= F.col(budget_col))
+        .where(cond1)
         .drop("_rn1", "_salt")
     )
     w2 = Window.partitionBy("host").orderBy(*_order_keys())
@@ -117,7 +128,13 @@ def scheduling_round(
     cand = cand.join(F.broadcast(pol), on="host", how="inner").where(
         ~F.col("robots_disallow_all")
     )
-    out = per_host_topk(cand, salt_buckets=salt_buckets).select(
+    # constant cap over all budgets -> enables pre-shuffle group limits
+    # (one tiny driver-side agg on the policies table, O(hosts))
+    cap_row = host_policies.agg(F.max("budget")).first()
+    budget_cap = int(cap_row[0]) if cap_row and cap_row[0] is not None else None
+    out = per_host_topk(
+        cand, salt_buckets=salt_buckets, budget_cap=budget_cap
+    ).select(
         "url", "url_id", "host", "depth", "priority", "budget", "fetch_rank"
     )
     if global_limit is not None:
