@@ -383,29 +383,18 @@ def q_route_match(spark, sf_dir):
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 vs the vec_id=0 query vector.
 
-    All-double, in-order arithmetic so DuckDB reproduces bit-identical
-    similarity; output is (vec_id, rank) — integers only.
+    All-double, in-order arithmetic (similarity.cosine_topk) so DuckDB
+    reproduces bit-identical similarity; output (vec_id, rank) only.
     """
+    from cmoncrawl_spark.operators.similarity import cosine_topk
+
     load_tables(spark, sf_dir, ("embeddings",))
     emb = spark.table("embeddings")
-    q = emb.where(F.col("vec_id") == 0).select(
-        F.col("embedding").cast("array<double>").alias("qv")
+    qv = (
+        emb.where(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>"))
+        .first()[0]
     )
-    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
-    joined = e.crossJoin(F.broadcast(q))
-    dot = F.aggregate(
-        F.zip_with("ev", "qv", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    sim = (dot / (norm(F.col("ev")) * norm(F.col("qv")))).alias("sim")
-    ranked = joined.select("vec_id", sim).withColumn(
-        "rank",
-        F.row_number().over(
-            Window.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
-        ),
-    )
-    return ranked.where(F.col("rank") <= 10).select("vec_id", "rank")
+    return cosine_topk(
+        emb, F.array(*[F.lit(float(v)) for v in qv]), k=10
+    ).select("vec_id", "rank")

