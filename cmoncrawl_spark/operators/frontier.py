@@ -44,10 +44,11 @@ def _order_keys() -> list[Column]:
 
 
 def canonicalize(frontier: DataFrame, url_col: str = "url") -> DataFrame:
-    """Attach url_id (D1 canonical id) + host — all codegen expressions."""
-    return frontier.withColumn(
-        "url_id", unify_url_id_col(F.col(url_col))
-    ).withColumn("host", host_of(F.col(url_col)))
+    """Attach url_id (D1 canonical id) + host — all codegen expressions;
+    the URL is host-parsed once and reused by the id chain."""
+    return frontier.withColumn("host", host_of(F.col(url_col))).withColumn(
+        "url_id", unify_url_id_col(F.col(url_col), host=F.col("host"))
+    )
 
 
 def dedupe_intra_batch(candidates: DataFrame) -> DataFrame:
@@ -108,6 +109,7 @@ def scheduling_round(
     num_shards: int = 32,
     salt_buckets: int = 16,
     global_limit: int | None = None,
+    budget_cap: int | None = None,
 ) -> DataFrame:
     """One full scheduling round.
 
@@ -128,10 +130,14 @@ def scheduling_round(
     cand = cand.join(F.broadcast(pol), on="host", how="inner").where(
         ~F.col("robots_disallow_all")
     )
-    # constant cap over all budgets -> enables pre-shuffle group limits
-    # (one tiny driver-side agg on the policies table, O(hosts))
-    cap_row = host_policies.agg(F.max("budget")).first()
-    budget_cap = int(cap_row[0]) if cap_row and cap_row[0] is not None else None
+    # constant cap over all budgets -> enables pre-shuffle group limits.
+    # Callers running many rounds against static policies pass it in;
+    # otherwise one tiny driver-side agg (O(hosts)) derives it.
+    if budget_cap is None:
+        cap_row = host_policies.agg(F.max("budget")).first()
+        budget_cap = (
+            int(cap_row[0]) if cap_row and cap_row[0] is not None else None
+        )
     out = per_host_topk(
         cand, salt_buckets=salt_buckets, budget_cap=budget_cap
     ).select(

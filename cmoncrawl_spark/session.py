@@ -41,6 +41,11 @@ def get_spark(
             cores if cores and cores > 0 else DEFAULT_SHUFFLE_PARTITIONS
         )
 
+    # Optional GC override for single-JVM local mode (all executor
+    # threads share one heap). Benchmarking on this sandbox showed
+    # run-to-run noise larger than any GC effect, so no default is
+    # imposed; set SPARK_GRAFT_GC="-XX:+UseParallelGC" etc. to pin one.
+    gc_opts = os.environ.get("SPARK_GRAFT_GC", "")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -55,6 +60,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if gc_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", gc_opts)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

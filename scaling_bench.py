@@ -55,11 +55,13 @@ shards = bloom_ops.build_shards(seen, num_shards=32,
                                 expected_per_shard=200_000).localCheckpoint(eager=True)
 shards.count()
 
+cap = int(policies.agg({"budget": "max"}).first()[0])
 best = None
 for _ in range(reps):
     t0 = time.monotonic()
     scheduling_round(frontier, seen, policies, bloom_shards=shards,
-                     num_shards=32).write.format("noop").mode("overwrite").save()
+                     num_shards=32, budget_cap=cap
+                     ).write.format("noop").mode("overwrite").save()
     dt = time.monotonic() - t0
     best = dt if best is None else min(best, dt)
 print(json.dumps({"cores": cores, "sec": best, "input_urls": n_urls}))
