@@ -26,9 +26,13 @@ HEADLINE = [
     "q_index_domain",
     "q_url_seen_dedup",
     "q_exact_dedup_docs",
+    "q_minhash_dedup",
+    "q_extract_page",
+    "q_route_match",
     "q_token_count",
     "q_quality_stats",
     "q_cosine_topk",
+    "q_embed_dup_pairs",
     "q_events_hourly",
 ]
 
