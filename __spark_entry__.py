@@ -55,6 +55,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q.q_lang_id,
         "q_rolling_fingerprint": q.q_rolling_fingerprint,
         "q_image_features": q.q_image_features,
+        "q_config_extract": q.q_config_extract,
+        "q_sessionize": q.q_sessionize,
+        "q_ivf_topk": q.q_ivf_topk,
         "q_simhash": q.q_simhash,
         "q_ngram_jaccard": q.q_ngram_jaccard,
         "q_embed_dup_pairs": q.q_embed_dup_pairs,

@@ -118,6 +118,106 @@ def cosine_dup_pairs(
     )
 
 
+def ivf_build(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    iters: int = 5,
+    seed: int = 11,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF index: deterministic Lloyd's k-means over DataFrames.
+
+    Centroid init is seeded-deterministic (LCG), every iteration is one
+    broadcast-join + groupBy job (centroids stay driver-side — they're
+    n_lists x dim floats, trivially broadcastable at any corpus size).
+    Returns (assignments DataFrame [id, list_id], centroids).
+    """
+    dim = len(vecs.select(vec_col).first()[0])
+    cents = hyperplanes(dim, n_lists, seed)  # reuse the seeded generator
+    e = vecs.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        assigned = _assign(e, cents)
+        rows = (
+            assigned.groupBy("list_id")
+            .agg(
+                F.array(
+                    *[
+                        F.avg(F.element_at("v", i + 1)).alias(f"c{i}")
+                        for i in range(dim)
+                    ]
+                ).alias("centroid"),
+            )
+            .collect()
+        )
+        new = list(cents)
+        for r in rows:
+            new[r["list_id"]] = [float(x) for x in r["centroid"]]
+        cents = new
+    return _assign(e, cents).select("id", "list_id"), cents
+
+
+def _assign(e: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Nearest-centroid assignment as a pure expression argmin."""
+    dists = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            F.lit(i).alias("i"),
+        )
+        for i, c in enumerate(cents)
+    ]
+    best = F.array_min(F.array(*dists))
+    return e.withColumn("list_id", best["i"])
+
+
+def ivf_topk(
+    vecs: DataFrame,
+    query_vec_values: list[float],
+    centroids: list[list[float]],
+    assignments: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF search: rank centroids driver-side, scan only the n_probe
+    nearest lists, exact rerank inside. At scale the corpus is stored
+    partitioned by list_id, so this reads n_probe partitions."""
+    q = query_vec_values
+    order = sorted(
+        range(len(centroids)),
+        key=lambda i: sum((a - b) ** 2 for a, b in zip(centroids[i], q)),
+    )[:n_probe]
+    qcol = F.array(*[F.lit(float(v)) for v in q])
+    e = vecs.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).join(
+        assignments.withColumnRenamed("id", id_col), on=id_col, how="inner"
+    )
+    cand = e.where(F.col("list_id").isin(order))
+    sim = cosine(F.col("v"), qcol)
+    return (
+        cand.select(F.col(id_col), sim.alias("sim"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("sim").desc(), F.col(id_col))
+            ),
+        )
+        .where(F.col("rank") <= k)
+    )
+
+
 def ann_topk(
     vecs: DataFrame,
     query_vec_values: list[float],

@@ -258,6 +258,23 @@ def oracles() -> dict[str, str]:
               (sqrt(list_dot_product(a.v, a.v)) *
                sqrt(list_dot_product(b.v, b.v))) >= 0.99
     """
+    o["q_config_extract"] = (
+        "SELECT doc_id, 'Doc ' || CAST(doc_id AS STRING) AS headline, "
+        "text || (CASE WHEN doc_id % 13 = 0 THEN chr(10) ELSE ' ' END) "
+        "|| 'end' AS body FROM documents WHERE doc_id % 101 <> 0"
+    )
+    o["q_sessionize"] = """
+        SELECT event_id, user_id,
+               CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        FROM (
+          SELECT event_id, user_id, ts,
+                 CAST(floor(epoch(ts)) AS BIGINT) -
+                 lag(CAST(floor(epoch(ts)) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+          FROM events) t
+    """
     o["q_cosine_topk"] = """
         WITH q AS (
           SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings

@@ -377,7 +377,65 @@ def q_route_match(spark, sf_dir):
     ).select("url", "warc_ts", "route")
 
 
+def q_config_extract(spark, sf_dir):
+    """U2 — declarative (PageExtractor-style) extraction: CSS field
+    specs + must_exist filter, compiled to one mapInPandas stage."""
+    from cmoncrawl_spark.datagen import pages_with_html
+    from cmoncrawl_spark.extraction.extractor import (
+        ConfigExtractor,
+        CssField,
+        apply_extractor,
+    )
+
+    df = pages_with_html(spark, sf_dir)
+    ex = ConfigExtractor(
+        fields={"headline": CssField("title"), "body": CssField("body p")},
+        must_exist=["body"],
+    )
+    return apply_extractor(
+        df, ex, passthrough=["doc_id"], record_encoding_col="record_encoding"
+    ).select("doc_id", "headline", "body")
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: new session when gap > 30 min per user (lag +
+    cumulative sum windows)."""
+    load_tables(spark, sf_dir, ("events",))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; cast via TIMESTAMP (session TZ=UTC)
+    # to whole-second epoch — matches DuckDB's floor(epoch(ts)).
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        spark.table("events")
+        .withColumn("new_sess", new_sess)
+        .withColumn(
+            "session_seq",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .select("event_id", "user_id", "session_seq")
+    )
+
+
 # ------------------------------------------------------------- similarity
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN: k-means lists + n_probe search (no oracle: iterative
+    float averaging isn't portably reproducible in SQL; pytest pins
+    self-retrieval and determinism)."""
+    from cmoncrawl_spark.operators.similarity import ivf_build, ivf_topk
+
+    load_tables(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings")
+    assignments, cents = ivf_build(emb, n_lists=8, iters=2)
+    qv = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    return ivf_topk(emb, qv, cents, assignments, k=10, n_probe=2).select(
+        "vec_id", "rank"
+    )
 
 
 def q_cosine_topk(spark, sf_dir):
