@@ -97,12 +97,14 @@ def surt_py(url: str) -> str:
     """
     try:
         parts = urlsplit(url if "://" in url else "http://" + url)
+        # parts.port parses lazily and raises on non-numeric/out-of-range
+        # ports ('http://h:80x/') — one bad crawl URL must not kill a task.
+        port = parts.port
     except ValueError:
         return url
     host = (parts.hostname or "").lower().rstrip(".")
     if host.startswith("www."):
         host = host[4:]
-    port = parts.port
     scheme = (parts.scheme or "http").lower()
     portstr = (
         f":{port}" if port is not None and str(port) != _DEFAULT_PORTS.get(scheme)

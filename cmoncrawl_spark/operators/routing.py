@@ -92,19 +92,23 @@ def route_records_join(
     a per-record row_number — same contract, join-shaped.
     """
     r = F.broadcast(routes_df)
-    joined = records.join(
+    # A synthetic per-row id (not all record columns) keys the first-match
+    # window: duplicate input rows keep their multiplicity, and the window
+    # partitions on one long instead of the whole row.
+    recs = records.withColumn("_rec_id", F.monotonically_increasing_id())
+    joined = recs.join(
         r,
         F.col(url_col).rlike(F.col("regex"))
         & (F.col("since").isNull() | (F.col(ts_col) >= F.col("since")))
         & (F.col("to").isNull() | (F.col(ts_col) < F.col("to"))),
         "left",
     )
-    w = Window.partitionBy(*[F.col(c) for c in records.columns]).orderBy(
+    w = Window.partitionBy(F.col("_rec_id")).orderBy(
         F.col("route_idx").asc_nulls_last()
     )
     return (
         joined.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
-        .drop("_rn", "regex", "since", "to", "route_idx")
+        .drop("_rn", "_rec_id", "regex", "since", "to", "route_idx")
         .withColumnRenamed("name", "route")
     )

@@ -67,6 +67,23 @@ def sign_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def _topk_ranked(sims: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Scale-safe top-k + rank over a (id, sim) DataFrame.
+
+    ``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject —
+    per-partition k-row heaps merged on the driver, NO single-reducer
+    global sort (the round-1 Window.orderBy plan shuffled the whole
+    corpus into one partition). The rank window then sees only the k
+    survivors; the two-key (sim desc, id asc) order preserves the
+    deterministic tie-break, so output rows and ranks are identical.
+    """
+    top = sims.orderBy(F.col("sim").desc(), F.col(id_col).asc()).limit(k)
+    return top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("sim").desc(), F.col(id_col))),
+    )
+
+
 def cosine_topk(
     vecs: DataFrame,
     query_vec: Column,
@@ -78,11 +95,7 @@ def cosine_topk(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     ).withColumn("_q", query_vec)
     sim = cosine(F.col("_v"), F.col("_q"))
-    ranked = e.select(F.col(id_col), sim.alias("sim")).withColumn(
-        "rank",
-        F.row_number().over(Window.orderBy(F.col("sim").desc(), F.col(id_col))),
-    )
-    return ranked.where(F.col("rank") <= k)
+    return _topk_ranked(e.select(F.col(id_col), sim.alias("sim")), id_col, k)
 
 
 def cosine_dup_pairs(
@@ -206,16 +219,7 @@ def ivf_topk(
     )
     cand = e.where(F.col("list_id").isin(order))
     sim = cosine(F.col("v"), qcol)
-    return (
-        cand.select(F.col(id_col), sim.alias("sim"))
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.orderBy(F.col("sim").desc(), F.col(id_col))
-            ),
-        )
-        .where(F.col("rank") <= k)
-    )
+    return _topk_ranked(cand.select(F.col(id_col), sim.alias("sim")), id_col, k)
 
 
 def ann_topk(
@@ -243,13 +247,4 @@ def ann_topk(
     )
     cand = keyed.where(F.col("bucket") == qbucket_row["b"])
     sim = cosine(F.col("v"), qcol)
-    return (
-        cand.select(F.col(id_col), sim.alias("sim"))
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.orderBy(F.col("sim").desc(), F.col(id_col))
-            ),
-        )
-        .where(F.col("rank") <= k)
-    )
+    return _topk_ranked(cand.select(F.col(id_col), sim.alias("sim")), id_col, k)

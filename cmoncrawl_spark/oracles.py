@@ -141,7 +141,8 @@ def oracles() -> dict[str, str]:
         "AS distinct_words FROM documents"
     )
     o["q_lang_agg"] = (
-        "SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars, "
+        "SELECT lang, count(*) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
         "min(doc_id) AS min_doc FROM documents GROUP BY lang"
     )
     o["q_cache_key"] = with_crawl_ctes(

@@ -85,15 +85,19 @@ def merge_bloom_shards(old: DataFrame, new: DataFrame) -> DataFrame:
                 "shard_id": [int(key[0])],
                 "bloom": [out.tobytes()],
                 "n_items": [int(pdf["n_items"].sum())],
-                "m_bits": [int(pdf["m_bits"].iloc[0])],
-                "k_hashes": [int(pdf["k_hashes"].iloc[0])],
+                "m_bits": [int(key[1])],
+                "k_hashes": [int(key[2])],
             }
         )
 
+    # Group by the full filter parameterization, not just shard_id: ORing
+    # blobs built with different (m, k) would silently produce false
+    # NEGATIVES, breaking dedupe_against_seen's exactness contract.
     both = old.unionByName(new)
-    return both.groupBy("shard_id").applyInPandas(
+    merged = both.groupBy("shard_id", "m_bits", "k_hashes").applyInPandas(
         lambda key, pdf: _merge(key, pdf), bloom_ops.BLOOM_SHARD_SCHEMA
     )
+    return merged
 
 
 def run_round(
