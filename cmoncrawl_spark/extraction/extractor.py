@@ -95,6 +95,20 @@ class TitleExtractor(SparkExtractor):
         return {"title": H.title_of(dom)}
 
 
+class TitleTagExtractor(SparkExtractor):
+    """Fixture-faithful variant: the RAW title tag (outer HTML), which
+    is what the reference pipeline emits — its fixture extractor
+    returns the bs4 Tag ({'title': soup.title}) and StreamerFileJSON
+    serializes it via str(), producing
+    '<title ...>...</title>' (end_to_end_test.py:65-72,93-99)."""
+
+    schema = "title string"
+
+    def extract_dom(self, dom: H.Node, meta: PageMeta) -> dict | None:
+        t = H._first(dom, "title")
+        return {"title": H.outer_html(t, dom) if t is not None else None}
+
+
 class PageTextExtractor(SparkExtractor):
     """title + body text + winning encoding — the engine's canonical
     html->text stage (input_hint's byte-identical text invariant)."""

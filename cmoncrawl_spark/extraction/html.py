@@ -41,6 +41,12 @@ class Node:
     tag: str
     attrs: dict[str, str] = field(default_factory=dict)
     children: list["Node | str"] = field(default_factory=list)
+    #: source span [start, end) of this element in the parsed text —
+    #: set by the builder; ``end`` stays None for implicitly-closed tags.
+    start: int | None = None
+    end: int | None = None
+    #: original source text, set on the root node only (outer_html).
+    source: str | None = None
 
     def text(self) -> str:
         out: list[str] = []
@@ -64,25 +70,47 @@ class Node:
 
 
 class _Builder(HTMLParser):
-    def __init__(self) -> None:
+    def __init__(self, source: str = "") -> None:
         super().__init__(convert_charrefs=True)
         self.root = Node("[document]")
         self.stack = [self.root]
+        self.source = source
+        # cumulative offsets of line starts: getpos() -> absolute offset.
+        starts = [0]
+        for i, ch in enumerate(source):
+            if ch == "\n":
+                starts.append(i + 1)
+        self._line_starts = starts
+
+    def _offset(self) -> int:
+        line, col = self.getpos()
+        return self._line_starts[line - 1] + col
 
     def handle_starttag(self, tag, attrs):
-        node = Node(tag, {k: (v or "") for k, v in attrs})
+        node = Node(tag, {k: (v or "") for k, v in attrs}, start=self._offset())
         self.stack[-1].children.append(node)
         if tag not in _VOID:
             self.stack.append(node)
 
     def handle_startendtag(self, tag, attrs):
+        start = self._offset()
+        raw = self.get_starttag_text() or ""
         self.stack[-1].children.append(
-            Node(tag, {k: (v or "") for k, v in attrs})
+            Node(
+                tag,
+                {k: (v or "") for k, v in attrs},
+                start=start,
+                end=start + len(raw),
+            )
         )
 
     def handle_endtag(self, tag):
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i].tag == tag:
+                # end = one past the '>' of the closing tag in source.
+                pos = self._offset()
+                gt = self.source.find(">", pos)
+                self.stack[i].end = (gt + 1) if gt >= 0 else None
                 del self.stack[i:]
                 break
 
@@ -92,13 +120,31 @@ class _Builder(HTMLParser):
 
 
 def parse(html: str) -> Node:
-    b = _Builder()
+    b = _Builder(html)
     try:
         b.feed(html)
         b.close()
     except Exception:
         pass  # best-effort, like soup: keep whatever parsed
+    b.root.source = html
     return b.root
+
+
+def outer_html(node: Node, root: Node) -> str | None:
+    """Raw-tag serialization: the node's exact source span.
+
+    This is the engine's ``str(soup.title)`` analog — the reference's
+    fixture extractor returns the bs4 Tag itself, which json-serializes
+    as the tag's outer HTML (tests/test_extract/extractors/
+    test_extract.py:10-17; golden asserted at end_to_end_test.py:65-72,
+    93-99). bs4 RE-serializes (normalizing quoting); this returns the
+    verbatim source span, which is byte-identical for the reference's
+    checked-in fixtures (pinned by tests/test_reference_fixtures.py).
+    """
+    if root.source is None or node.start is None:
+        return None
+    end = node.end if node.end is not None else len(root.source)
+    return root.source[node.start : end]
 
 
 def _first(root: Node, tag: str) -> Node | None:

@@ -259,6 +259,24 @@ def oracles() -> dict[str, str]:
               (sqrt(list_dot_product(a.v, a.v)) *
                sqrt(list_dot_product(b.v, b.v))) >= 0.99
     """
+    # Byte-identity differential vs the reference's checked-in fixtures:
+    # DuckDB slices the raw <title> span straight out of the source
+    # bytes; Spark runs the full decode->parse->raw-tag pipeline.
+    o["q_fixture_title"] = """
+        WITH fx AS (
+          SELECT CAST(0 AS BIGINT) AS rec_id, content AS html
+          FROM read_text('/root/reference/tests/test_extract/files/file.html')
+          UNION ALL
+          SELECT CAST(domain_record.offset AS BIGINT) AS rec_id, html
+          FROM read_json(
+            '/root/reference/tests/test_extract/files/file.jsonl',
+            format='newline_delimited')
+          WHERE html IS NOT NULL AND html <> ''
+        )
+        SELECT rec_id,
+               regexp_extract(html, '<title[^>]*>[^<]*</title>') AS title
+        FROM fx
+    """
     o["q_config_extract"] = (
         "SELECT doc_id, 'Doc ' || CAST(doc_id AS STRING) AS headline, "
         "text || (CASE WHEN doc_id % 13 = 0 THEN chr(10) ELSE ' ' END) "

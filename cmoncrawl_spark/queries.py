@@ -415,6 +415,59 @@ def q_route_match(spark, sf_dir):
     ).select("url", "warc_ts", "route")
 
 
+#: the reference's own checked-in extraction fixtures (read-only).
+REF_FIXTURE_DIR = "/root/reference/tests/test_extract/files"
+
+
+def q_fixture_title(spark, sf_dir):
+    """Byte-identity against the reference's OWN checked-in fixtures.
+
+    Runs the full decode -> parse -> raw-tag-serialize pipeline
+    (TitleTagExtractor = the reference fixture extractor's
+    {'title': soup.title}, tests/test_extract/extractors/
+    test_extract.py:10-17) over file.html plus the two embedded WARC
+    captures in file.jsonl. The DuckDB oracle independently slices the
+    raw title span with regexp_extract over the same files, and the
+    exact golden string from end_to_end_test.py:65-72,93-99 is pinned
+    in tests/test_reference_fixtures.py. sf_dir is unused — the input
+    is the reference fixture, by design.
+    """
+    from cmoncrawl_spark.extraction.extractor import (
+        TitleTagExtractor,
+        apply_extractor,
+    )
+
+    html_df = (
+        spark.read.format("binaryFile")
+        .load(f"{REF_FIXTURE_DIR}/file.html")
+        .select(
+            F.lit(0).cast("long").alias("rec_id"),
+            F.col("content").alias("html"),
+            F.lit("UTF-8").alias("record_encoding"),
+        )
+    )
+    recs = (
+        spark.read.schema(
+            "domain_record struct<offset:bigint, encoding:string>, html string"
+        )
+        .json(f"{REF_FIXTURE_DIR}/file.jsonl")
+        .where(F.col("html").isNotNull() & (F.col("html") != ""))
+        .select(
+            F.col("domain_record.offset").alias("rec_id"),
+            F.encode("html", "UTF-8").alias("html"),
+            F.col("domain_record.encoding").alias("record_encoding"),
+        )
+    )
+    out = apply_extractor(
+        html_df.unionByName(recs),
+        TitleTagExtractor(),
+        passthrough=["rec_id"],
+        record_encoding_col="record_encoding",
+        url_col=None,
+    )
+    return out.select("rec_id", "title")
+
+
 def q_config_extract(spark, sf_dir):
     """U2 — declarative (PageExtractor-style) extraction: CSS field
     specs + must_exist filter, compiled to one mapInPandas stage."""

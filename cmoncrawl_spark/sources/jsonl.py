@@ -18,7 +18,7 @@ S9 — dummy source: a projection.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType,
@@ -64,22 +64,40 @@ def read_domain_records(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-#: url-inference patterns, in the reference's priority order
-#: (downloader.py:303-329): og:url -> link rel=home -> RSS link.
-_URL_PATTERNS = [
-    r'<meta[^>]*property=["\']og:url["\'][^>]*content=["\']([^"\']+)["\']',
-    r'<link[^>]*rel=["\']home["\'][^>]*href=["\']([^"\']+)["\']',
-    r"<link>\s*(https?://[^<\s]+)\s*</link>",
+#: url-inference tag patterns, in the reference's priority order
+#: (downloader.py:303-329): meta[property='og:url'] -> link[rel='home']
+#: -> link[title*='RSS'] -> link[media*='handheld']; each yields
+#: (tag-matching regex, attribute to read). Two-step extraction (match
+#: the whole tag, then pull the attribute out of the matched span) so
+#: attribute ORDER inside the tag doesn't matter — same as the
+#: reference's CSS attribute selectors.
+_URL_TAG_PATTERNS = [
+    (r'''<meta[^>]*property=["']og:url["'][^>]*>''', "content"),
+    (r'''<link[^>]*rel=["']home["'][^>]*>''', "href"),
+    (r'''<link[^>]*title=["'][^"']*RSS[^"']*["'][^>]*>''', "href"),
+    (r'''<link[^>]*media=["'][^"']*handheld[^"']*["'][^>]*>''', "href"),
 ]
+
+
+def _tag_attr(text: Column, tag_re: str, attr: str) -> Column:
+    tag = F.regexp_extract(text, tag_re, 0)
+    return F.nullif(
+        F.regexp_extract(tag, attr + r'''=["']([^"']+)["']''', 1), F.lit("")
+    )
+
+
+def infer_url_col(text: Column) -> Column:
+    """First-hit URL inference over decoded page text (S7)."""
+    return F.coalesce(
+        *[_tag_attr(text, p, attr) for p, attr in _URL_TAG_PATTERNS]
+    )
 
 
 def read_html_files(spark: SparkSession, path: str) -> DataFrame:
     """S7 — whole-file HTML scan + native metadata inference."""
     files = spark.read.format("binaryFile").load(path)
     text = F.decode(F.col("content"), "utf-8")
-    url = F.coalesce(
-        *[F.nullif(F.regexp_extract(text, p, 1), F.lit("")) for p in _URL_PATTERNS]
-    )
+    url = infer_url_col(text)
     year = F.nullif(
         F.regexp_extract(F.col("path"), r"(\d{4})", 1), F.lit("")
     ).cast("int")
