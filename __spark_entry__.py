@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_features": q.q_image_features,
         "q_fixture_title": q.q_fixture_title,
         "q_config_extract": q.q_config_extract,
+        "q_extract_valid": q.q_extract_valid,
         "q_sessionize": q.q_sessionize,
         "q_ivf_topk": q.q_ivf_topk,
         "q_simhash": q.q_simhash,

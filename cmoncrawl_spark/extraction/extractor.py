@@ -31,8 +31,72 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import StructType
 
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, MapType, StringType
+
 from cmoncrawl_spark.extraction import html as H
 from cmoncrawl_spark.extraction.encoding import decode_cascade
+
+
+def check_required(
+    required_fields: dict[str, bool], non_empty: bool = False
+) -> Callable[[dict], bool]:
+    """F11 — validity filter over an extracted dict (reference
+    processor/extraction/utils.py:223-272, wired as is_valid_extraction
+    at pipeline/extractor.py:273-277): every key must be present; keys
+    flagged True must be non-None, and with ``non_empty`` also not ''
+    or a zero-length sized value. Logging dropped; semantics kept."""
+
+    def inner(extracted: dict) -> bool:
+        for key, must_have_value in required_fields.items():
+            if key not in extracted:
+                return False
+            val = extracted[key]
+            if must_have_value:
+                if val is None:
+                    return False
+                if non_empty:
+                    if isinstance(val, str) and val == "":
+                        return False
+                    if hasattr(val, "__len__") and len(val) == 0:
+                        return False
+        return True
+
+    return inner
+
+
+def required_filter_col(
+    df: DataFrame, required_fields: dict[str, bool], non_empty: bool = False
+) -> Column:
+    """F11 as a native expression over an ALREADY-extracted DataFrame —
+    the Catalyst twin of :func:`check_required` (missing columns fail
+    at analysis time, which is the schema-first analog of 'key not in
+    dict'). Use after apply_extractor when the validator wasn't fused
+    into the UDF stage."""
+    pred = F.lit(True)
+    for key, must_have_value in required_fields.items():
+        if key not in df.columns:
+            return F.lit(False)
+        if not must_have_value:
+            continue
+        c = F.col(key)
+        pred = pred & c.isNotNull()
+        if non_empty:
+            dt = df.schema[key].dataType
+            if isinstance(dt, StringType):
+                pred = pred & (F.length(c) > 0)
+            elif isinstance(dt, (ArrayType, MapType)):
+                pred = pred & (F.size(c) > 0)
+    return pred
+
+
+def domain_prefix_allowed(url_col: Column, prefixes: list[str]) -> Column:
+    """F10 — allowed_domain_prefixes (reference pipeline/extractor.py:
+    313-318): the netloc's FIRST dot-label must be in the allow-list.
+    Native expression so Catalyst applies it before any Arrow batch."""
+    first = F.split(F.parse_url(url_col, F.lit("HOST")), r"\.").getItem(0)
+    return first.isin([p for p in prefixes])
 
 
 @dataclass
@@ -62,6 +126,11 @@ class SparkExtractor:
 
     def filter_dom(self, dom: H.Node, meta: PageMeta) -> bool:
         return True
+
+    def native_prefilter(self, url_col: Column) -> Column | None:
+        """Optional Column predicate Catalyst applies BEFORE the Arrow
+        stage (F7/F10 doctrine: raw filters stay outside the UDF)."""
+        return None
 
     def extract_dom(self, dom: H.Node, meta: PageMeta) -> dict | None:
         raise NotImplementedError
@@ -141,13 +210,42 @@ class ConfigExtractor(SparkExtractor):
         must_exist: list[str] | None = None,
         must_not_exist: list[str] | None = None,
         schema: str | None = None,
+        required: dict[str, bool] | None = None,
+        non_empty: bool = False,
+        allowed_domain_prefixes: list[str] | None = None,
+        is_valid_extraction: Callable[[dict], bool] | None = None,
     ) -> None:
         self.fields = fields
         self.must_exist = must_exist or []
         self.must_not_exist = must_not_exist or []
         self.schema = schema or ", ".join(f"{k} string" for k in fields)
+        self.allowed_domain_prefixes = allowed_domain_prefixes
+        # F11: explicit hook wins; else compile one from `required`.
+        if is_valid_extraction is not None:
+            self.is_valid_extraction = is_valid_extraction
+        elif required:
+            self.is_valid_extraction = check_required(required, non_empty)
+        else:
+            self.is_valid_extraction = None
+
+    def native_prefilter(self, url_col: Column) -> Column | None:
+        """F10 pushed OUT of the UDF: the reference checks the domain
+        prefix in filter_soup (post-parse), but the predicate only
+        needs the url — hoisting it before the Arrow stage is the
+        Spark-first plan (same rows dropped, zero parse cost on them)."""
+        if self.allowed_domain_prefixes is None:
+            return None
+        return domain_prefix_allowed(url_col, self.allowed_domain_prefixes)
 
     def filter_dom(self, dom: H.Node, meta: PageMeta) -> bool:
+        # F10 parity path for non-Spark callers (extract_one): same
+        # first-label check the reference runs (extractor.py:313-318).
+        if self.allowed_domain_prefixes is not None and meta.url:
+            from urllib.parse import urlsplit
+
+            netloc = urlsplit(meta.url).netloc
+            if netloc.split(".")[0] not in self.allowed_domain_prefixes:
+                return False
         for sel in self.must_exist:
             if not H.select(dom, sel):
                 return False
@@ -166,6 +264,10 @@ class ConfigExtractor(SparkExtractor):
                 out[name] = hits[0].attrs.get(spec.attr)
             else:
                 out[name] = hits[0].text()
+        if self.is_valid_extraction is not None and not self.is_valid_extraction(
+            out
+        ):
+            return None
         return out
 
 
@@ -185,6 +287,10 @@ def apply_extractor(
     ``None => dropped`` contract (extractor.py:24).
     """
     passthrough = passthrough or []
+    if url_col and url_col in df.columns:
+        pre = extractor.native_prefilter(F.col(url_col))
+        if pre is not None:
+            df = df.where(pre)
     in_schema = df.schema
     extra = (
         extractor.schema

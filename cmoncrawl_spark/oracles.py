@@ -282,6 +282,14 @@ def oracles() -> dict[str, str]:
         "text || (CASE WHEN doc_id % 13 = 0 THEN chr(10) ELSE ' ' END) "
         "|| 'end' AS body FROM documents WHERE doc_id % 101 <> 0"
     )
+    # F10: first dot-label of the netloc (www || base_host) allowed;
+    # F11: garbage-encoding rows (doc_id % 101 = 0) parse to no title
+    # and no body <p>, so required{headline,body} non_empty drops them.
+    o["q_extract_valid"] = with_crawl_ctes(
+        "SELECT doc_id, 'Doc ' || CAST(doc_id AS STRING) AS headline "
+        "FROM pages WHERE doc_id % 101 <> 0 "
+        "AND split_part(url_host_name, '.', 1) IN ('news', 'blog', 'www')"
+    )
     o["q_sessionize"] = """
         SELECT event_id, user_id,
                CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)

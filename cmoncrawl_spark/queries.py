@@ -488,6 +488,32 @@ def q_config_extract(spark, sf_dir):
     ).select("doc_id", "headline", "body")
 
 
+def q_extract_valid(spark, sf_dir):
+    """F10 + F11 — declarative extraction with allowed_domain_prefixes
+    (native prefilter before the Arrow stage) and check_required
+    (non_empty) validity filtering. Survivors: rows whose host's first
+    label is allowed AND that parse to a non-empty headline+body (the
+    garbage-encoding rows drop). Oracle predicts the surviving set from
+    the synthesis components."""
+    from cmoncrawl_spark.datagen import pages_with_html
+    from cmoncrawl_spark.extraction.extractor import (
+        ConfigExtractor,
+        CssField,
+        apply_extractor,
+    )
+
+    df = pages_with_html(spark, sf_dir)
+    ex = ConfigExtractor(
+        fields={"headline": CssField("title"), "body": CssField("body p")},
+        required={"headline": True, "body": True},
+        non_empty=True,
+        allowed_domain_prefixes=["news", "blog", "www"],
+    )
+    return apply_extractor(
+        df, ex, passthrough=["doc_id"], record_encoding_col="record_encoding"
+    ).select("doc_id", "headline")
+
+
 def q_sessionize(spark, sf_dir):
     """Sessionization: new session when gap > 30 min per user (lag +
     cumulative sum windows)."""

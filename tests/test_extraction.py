@@ -155,3 +155,97 @@ def test_routing_first_match_wins(spark):
     assert got[("https://b.other.org/y", "2022-06-01 00:00:00")] == "B"
     # outside A's interval the later registration C catches it
     assert got[("https://a.example.com/x", "2019-01-01 00:00:00")] == "C"
+
+
+def test_check_required_semantics():
+    """F11 parity with reference utils.py:223-272."""
+    from cmoncrawl_spark.extraction.extractor import check_required
+
+    v = check_required({"a": True, "b": False})
+    assert v({"a": 1, "b": None}) is True          # b may be None
+    assert v({"a": None, "b": 1}) is False         # a must have a value
+    assert v({"b": 1}) is False                    # a missing entirely
+    assert v({"a": "", "b": None}) is True         # empty ok w/o non_empty
+    ve = check_required({"a": True}, non_empty=True)
+    assert ve({"a": ""}) is False
+    assert ve({"a": []}) is False
+    assert ve({"a": "x"}) is True
+    assert ve({"a": [1]}) is True
+
+
+def test_required_filter_col_matches_check_required(spark):
+    """The Catalyst twin keeps exactly the rows the validator keeps."""
+    from cmoncrawl_spark.extraction.extractor import (
+        check_required,
+        required_filter_col,
+    )
+
+    rows = [
+        (0, "x", ["t"]),
+        (1, None, ["t"]),
+        (2, "", ["t"]),
+        (3, "x", []),
+        (4, "x", None),
+    ]
+    df = spark.createDataFrame(rows, "id int, a string, b array<string>")
+    req = {"a": True, "b": True}
+    v = check_required(req, non_empty=True)
+    expected = {
+        r[0] for r in rows if v({"a": r[1], "b": r[2]})
+    }
+    got = {
+        r["id"]
+        for r in df.where(required_filter_col(df, req, non_empty=True)).collect()
+    }
+    assert got == expected == {0}
+    # missing column -> analysis-time False (schema-first analog)
+    assert df.where(
+        required_filter_col(df, {"nope": True})
+    ).count() == 0
+
+
+def test_allowed_domain_prefixes_both_paths(spark):
+    """F10: native prefilter and the extract_one parity path agree
+    (reference extractor.py:313-318 splits the raw netloc)."""
+    from pyspark.sql import functions as F
+
+    from cmoncrawl_spark.extraction.extractor import (
+        ConfigExtractor,
+        CssField,
+        PageMeta,
+        apply_extractor,
+        domain_prefix_allowed,
+    )
+
+    urls = [
+        "https://news.site.com/a",
+        "https://www.news.site.com/a",
+        "https://blog.site.com/a",
+        "https://ads.site.com/a",
+    ]
+    df = spark.createDataFrame(
+        [(u, b"<html><head><title>t</title></head></html>") for u in urls],
+        "url string, html binary",
+    )
+    keep = {"news", "www"}
+    got = {
+        r["url"]
+        for r in df.where(
+            domain_prefix_allowed(F.col("url"), sorted(keep))
+        ).collect()
+    }
+    assert got == {u for u in urls if u.split("//")[1].split(".")[0] in keep}
+
+    ex = ConfigExtractor(
+        fields={"t": CssField("title")},
+        allowed_domain_prefixes=sorted(keep),
+    )
+    # Spark path: prefilter hoisted before the UDF
+    out = apply_extractor(df, ex, passthrough=["url"])
+    assert {r["url"] for r in out.collect()} == got
+    # non-Spark parity path: filter_dom via meta.url
+    for u in urls:
+        res = ex.extract_one(
+            b"<html><head><title>t</title></head></html>", PageMeta(url=u)
+        )
+        assert (res is not None) == (u in got)
