@@ -75,6 +75,26 @@ def coalesce_fields(*cols: Column) -> Column:
     return F.coalesce(*cols)
 
 
+def portable_hash64(s: Column) -> Column:
+    """Engine-portable 64-bit hash: the little-endian uint64 of the
+    LAST 8 md5 bytes, reinterpreted as signed int64 (two's complement).
+
+    Equals DuckDB's ``md5_number_lower(s)`` bit-for-bit (as uint64),
+    which makes hash-based operators (simhash bit votes, rolling
+    fingerprints) ORACLE-ABLE: both engines produce identical values.
+    xxhash64 stays the production default (one JVM intrinsic vs md5 +
+    string conv here); this is the differential-testing twin.
+    """
+    hexs = F.md5(s)
+    # reverse the 8 byte-pairs of hex chars 17..32 (little-endian).
+    rev = F.concat(*[F.substring(hexs, 31 - 2 * i, 2) for i in range(8)])
+    u = F.conv(rev, 16, 10).cast("decimal(20,0)")
+    # 2^63 / 2^64 exceed int64, so they enter as string-cast decimals.
+    two63 = F.lit("9223372036854775808").cast("decimal(20,0)")
+    two64 = F.lit("18446744073709551616").cast("decimal(21,0)")
+    return F.when(u >= two63, u - two64).otherwise(u).cast("long")
+
+
 def filter_non_200(http_header: Column) -> Column:
     """F6 — keep when http_response_code is absent or '200'
     (extractor.py:157-167: missing header does NOT drop)."""

@@ -222,12 +222,19 @@ def ngram_jaccard_pairs(
 
 
 def simhash(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_hash_fn=None,
 ) -> DataFrame:
-    """64-bit SimHash: JVM-side token xxhash64, numpy bit-vote UDF.
+    """64-bit SimHash: JVM-side token hashing, numpy bit-vote UDF.
 
     The only Python is one vectorized Arrow batch op (unpack bits of
     the token-hash matrix, sign of the column sums).
+
+    ``token_hash_fn`` defaults to xxhash64 (production); pass
+    ``functions.scalars.portable_hash64`` for the oracle-able variant —
+    DuckDB then reproduces the exact bit votes from md5_number_lower.
     """
     import numpy as np
     import pandas as pd
@@ -239,17 +246,26 @@ def simhash(
             if arr is None or len(arr) == 0:
                 out.append(0)
                 continue
-            h = np.asarray(arr, dtype=np.uint64)
+            # int64 view + uint64 reinterpret: arr arrives as signed
+            # two's-complement longs (astype on the int64 array wraps;
+            # np.asarray(list, uint64) on negatives is deprecated).
+            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
             bits = np.unpackbits(h.view(np.uint8)).reshape(len(h), 64)
-            votes = bits.sum(axis=0) * 2 - len(h)  # +1/-1 per token
+            # SIGNED sums: uint8 sums promote unsigned, and `*2 - n`
+            # would underflow for any minority bit, setting every vote
+            # positive (this returned -1 for every doc until the DuckDB
+            # bit-vote oracle caught it).
+            votes = bits.sum(axis=0).astype(np.int64) * 2 - len(h)
             val = np.packbits((votes > 0).astype(np.uint8)).view(np.uint64)[0]
             out.append(int(val.astype(np.int64)))  # two's-complement to long
         return pd.Series(out)
 
+    if token_hash_fn is None:
+        token_hash_fn = F.xxhash64
     _simhash = pandas_udf(_simhash_fn, "long")
     tokens_hashed = F.transform(
         F.array_distinct(F.split(F.col(text_col), " ")),
-        lambda w: F.xxhash64(w),
+        lambda w: token_hash_fn(w),
     )
     return docs.select(
         F.col(id_col), _simhash(tokens_hashed).alias("simhash64")

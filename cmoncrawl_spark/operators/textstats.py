@@ -94,13 +94,21 @@ def quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def rolling_fingerprint(text_col: Column, window: int = 8) -> Column:
+def rolling_fingerprint(
+    text_col: Column, window: int = 8, hash_fn=None
+) -> Column:
     """Document fingerprint: min of rolling-window hashes (winnowing
-    lite) — robust to local edits, native exprs only."""
+    lite) — robust to local edits, native exprs only.
+
+    ``hash_fn`` defaults to xxhash64 (JVM intrinsic — production);
+    pass ``functions.scalars.portable_hash64`` for the oracle-able
+    variant DuckDB reproduces bit-for-bit (md5_number_lower)."""
+    if hash_fn is None:
+        hash_fn = F.xxhash64
     toks = tokens(text_col)
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - F.lit(window - 1), F.lit(1)))
     win_hashes = F.transform(
-        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window)))
+        idx, lambda i: hash_fn(F.concat_ws(" ", F.slice(toks, i, window)))
     )
     return F.array_min(win_hashes)

@@ -145,6 +145,102 @@ def oracles() -> dict[str, str]:
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
         "min(doc_id) AS min_doc FROM documents GROUP BY lang"
     )
+    # argmax over the 5 profile scores; Spark's array_max(struct(v, k))
+    # breaks ties toward the lexicographically LARGEST lang, so the
+    # CASE chain tests langs in DESCENDING lex order with >=.
+    _toks = "regexp_split_to_array(lower(text), '\\s+')"
+    _score = lambda words: (
+        f"len(list_filter({_toks}, w -> w IN ({words}))) * 1.0 "
+        f"/ greatest(len({_toks}), 1)"
+    )
+    o["q_lang_id"] = f"""
+        WITH sc AS (
+          SELECT doc_id,
+            {_score("'the','of','and','to','a','in','is'")} AS s_en,
+            {_score("'der','die','und','das','ist','nicht'")} AS s_de,
+            {_score("'le','la','les','et','est','une'")} AS s_fr,
+            {_score("'el','la','los','y','es','una'")} AS s_es,
+            {_score("'a','je','se','na','to','v'")} AS s_cs
+          FROM documents
+        )
+        SELECT doc_id,
+          CASE
+            WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de
+                 AND s_fr >= s_cs THEN 'fr'
+            WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_cs THEN 'es'
+            WHEN s_en >= s_de AND s_en >= s_cs THEN 'en'
+            WHEN s_de >= s_cs THEN 'de'
+            ELSE 'cs'
+          END AS lang_pred
+        FROM sc
+    """
+    # portable hash: md5_number_lower (uint64) -> signed int64, exactly
+    # what functions.scalars.portable_hash64 computes Spark-side.
+    _signed64 = (
+        "CAST(CASE WHEN CAST(md5_number_lower({x}) AS HUGEINT) >= "
+        "9223372036854775808 THEN CAST(md5_number_lower({x}) AS HUGEINT) "
+        "- 18446744073709551616 ELSE CAST(md5_number_lower({x}) AS HUGEINT) "
+        "END AS BIGINT)"
+    )
+    _win = (
+        "array_to_string(list_slice(regexp_split_to_array(text, '\\s+'), "
+        "i, i + 7), ' ')"
+    )
+    o["q_rolling_fingerprint"] = f"""
+        SELECT doc_id,
+          list_min(list_transform(
+            range(1, greatest(len(regexp_split_to_array(text, '\\s+')) - 7,
+                              1) + 1),
+            i -> {_signed64.format(x=_win)})) AS fp64
+        FROM documents
+    """
+    _docs2_cte = """
+    WITH docs2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(list_slice(string_split(text, ' '), 1,
+                 greatest(len(string_split(text, ' ')) - 2, 1)), ' ') AS text
+      FROM documents
+    )
+    """
+    # SimHash with the portable token hash: per machine-bit p of the
+    # uint64 token hash, the output bit p is set iff strictly more
+    # tokens have bit p set than clear (ones*2 > n) — the exact numpy
+    # bit-vote in operators/dedup.simhash. Weight 2^p is exact in
+    # double for all p <= 63 (powers of two), so CAST(power()) is safe.
+    o["q_simhash"] = (
+        _docs2_cte
+        + f"""
+        , tok AS (
+          SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+          FROM docs2
+        ),
+        th AS (
+          SELECT doc_id, CAST(md5_number_lower(w) AS HUGEINT) AS h FROM tok
+        ),
+        votes AS (
+          SELECT doc_id, bit,
+                 sum(CAST((h // CAST(power(2, bit) AS HUGEINT)) % 2 AS INT))
+                   AS ones,
+                 count(*) AS n
+          FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS bit) b
+          GROUP BY doc_id, bit
+        ),
+        packed AS (
+          SELECT doc_id,
+                 sum(CASE WHEN ones * 2 > n
+                     THEN CAST(power(2, bit) AS HUGEINT)
+                     ELSE CAST(0 AS HUGEINT) END) AS u
+          FROM votes GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(CASE WHEN u >= 9223372036854775808
+                    THEN u - 18446744073709551616 ELSE u END AS BIGINT)
+                 AS simhash64
+        FROM packed
+    """
+    )
     o["q_cache_key"] = with_crawl_ctes(
         "SELECT url, sha256(warc_filename || '|' || "
         "CAST(warc_record_offset AS STRING) || '|' || "

@@ -142,11 +142,14 @@ def q_minhash_dedup(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    """64-bit SimHash per doc (no oracle: xxhash64 is Spark-specific;
-    driver records rows-only). Pair detection tested in pytest."""
+    """64-bit SimHash per doc, computed with the engine-portable token
+    hash (md5_number_lower twin) so the DuckDB oracle reproduces the
+    exact bit votes. Production default stays xxhash64 (pytest pins
+    that the two hash choices detect the same near-dup pairs)."""
+    from cmoncrawl_spark.functions.scalars import portable_hash64
     from cmoncrawl_spark.operators.dedup import simhash
 
-    return simhash(_docs2(spark, sf_dir))
+    return simhash(_docs2(spark, sf_dir), token_hash_fn=portable_hash64)
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -316,9 +319,10 @@ def q_bpe_token_count(spark, sf_dir):
 
 
 def q_lang_id(spark, sf_dir):
-    """Heuristic language-ID (no oracle: argmax over profile scores is
-    painful in portable SQL; driver records rows-only; pytest pins the
-    per-language behavior)."""
+    """Heuristic language-ID. Oracle-checked: the DuckDB twin computes
+    the same per-profile token-hit fractions and emulates Spark's
+    array_max(struct(score, lang)) tie-break with a descending-lex
+    CASE chain."""
     from cmoncrawl_spark.operators.textstats import lang_id
 
     load_tables(spark, sf_dir, ("documents",))
@@ -328,12 +332,17 @@ def q_lang_id(spark, sf_dir):
 
 
 def q_rolling_fingerprint(spark, sf_dir):
-    """Winnowing-lite rolling-hash fingerprint (no oracle: xxhash64)."""
+    """Winnowing-lite rolling-hash fingerprint with the portable hash
+    (oracle-able: DuckDB reproduces every window hash bit-for-bit)."""
+    from cmoncrawl_spark.functions.scalars import portable_hash64
     from cmoncrawl_spark.operators.textstats import rolling_fingerprint
 
     load_tables(spark, sf_dir, ("documents",))
     return spark.table("documents").select(
-        "doc_id", rolling_fingerprint(F.col("text")).alias("fp64")
+        "doc_id",
+        rolling_fingerprint(F.col("text"), hash_fn=portable_hash64).alias(
+            "fp64"
+        ),
     )
 
 

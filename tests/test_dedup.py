@@ -77,3 +77,45 @@ def test_exact_topk_matches_ann_rerank(spark, sf_dir):
     assert res[0]["vec_id"] == 0  # self is nearest
     sims = [r["sim"] for r in res]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_simhash_precision_dissimilar_docs_not_paired(spark):
+    """Negative case: unrelated docs must NOT land within hamming<=3.
+    (The pre-fix unsigned-underflow bug set every vote positive, giving
+    simhash=-1 for every doc — recall tests alone couldn't see it.)"""
+    from cmoncrawl_spark.operators.dedup import simhash, simhash_near_pairs
+
+    import random
+
+    rnd = random.Random(42)
+    vocab_a = [f"alpha{i}" for i in range(200)]
+    vocab_b = [f"beta{i}" for i in range(200)]
+    rows = []
+    for d in range(20):
+        vocab = vocab_a if d % 2 == 0 else vocab_b
+        rows.append((d, " ".join(rnd.choice(vocab) for _ in range(80))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hashes = {r["doc_id"]: r["simhash64"] for r in simhash(df).collect()}
+    assert len(set(hashes.values())) > 1, "all simhashes identical"
+    pairs = {(r["a"], r["b"]) for r in simhash_near_pairs(df, max_hamming=3).collect()}
+    # cross-vocabulary pairs share no tokens; none should be near-dups
+    cross = {(a, b) for (a, b) in pairs if a % 2 != b % 2}
+    assert not cross, f"dissimilar docs paired: {sorted(cross)[:5]}"
+
+
+def test_simhash_single_token_equals_token_hash(spark):
+    """n=1 ground truth: the simhash of a one-token doc IS the token
+    hash (every set bit wins 1-0)."""
+    from pyspark.sql import functions as F
+
+    from cmoncrawl_spark.functions.scalars import portable_hash64
+    from cmoncrawl_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    got = simhash(df, token_hash_fn=portable_hash64).first()["simhash64"]
+    want = (
+        spark.range(1)
+        .select(portable_hash64(F.lit("solo")).alias("h"))
+        .first()["h"]
+    )
+    assert got == want
