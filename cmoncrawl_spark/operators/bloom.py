@@ -195,6 +195,18 @@ def dedupe_against_seen(
     seen = seen_ids.select(id_col).distinct()
     if shards is None:
         return candidates.join(seen, on=id_col, how="left_anti")
+    if "fp_bits" in shards.columns:
+        # cuckoo shards (operators/cuckoo.py) — same probe protocol,
+        # deletable filter (north_rule "bloom/cuckoo" fallback).
+        from cmoncrawl_spark.operators.cuckoo import probe_cuckoo
+
+        probed = probe_cuckoo(
+            candidates, shards, num_shards=num_shards, id_col=id_col
+        ).localCheckpoint(eager=True)
+        negatives = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
+        positives = probed.where(F.col("maybe_seen")).drop("maybe_seen")
+        survivors = positives.join(seen, on=id_col, how="left_anti")
+        return negatives.unionByName(survivors)
     # The bloom-negative and bloom-positive branches below both consume
     # `probed`; left lazy, Spark re-executes the shard build + cogroup
     # probe once per branch (and a plain .persist() races when both

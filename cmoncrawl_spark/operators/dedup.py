@@ -106,6 +106,57 @@ def minhash_signature_udf(num_perm: int = 32, seed: int = 7):
     return pandas_udf(_sig, "array<bigint>")
 
 
+def _bounded_bucket_pairs(
+    keyed: DataFrame, bucket_cols: list[str], max_bucket_size: int
+) -> DataFrame:
+    """Candidate pairs (a < b) from equality buckets, with a guard on
+    degenerate buckets (the web's boilerplate problem: thousands of
+    identical pages land in ONE bucket and an unguarded self-join goes
+    quadratic there).
+
+    Buckets of size <= max_bucket_size: full within-bucket pairs (the
+    exact LSH contract). Oversized buckets: STAR expansion — every
+    member pairs with the bucket's min id only, O(m) instead of O(m^2).
+    For dedup the star preserves what matters (cluster connectivity —
+    connected components / keep-min are unchanged); only exhaustive
+    pair ENUMERATION inside a degenerate bucket is truncated, and that
+    truncation is logged (no silent caps). Input: keyed(id, *bucket_cols).
+    """
+    import logging
+
+    sizes = keyed.groupBy(*bucket_cols).agg(
+        F.count("*").alias("_bsz"), F.min("id").alias("_hub")
+    )
+    tagged = keyed.join(sizes, bucket_cols)
+    normal = tagged.where(F.col("_bsz") <= max_bucket_size)
+    big = tagged.where(F.col("_bsz") > max_bucket_size)
+
+    logger = logging.getLogger(__name__)
+    if logger.isEnabledFor(logging.INFO):
+        # opt-in (costs one extra job): report what the cap truncated.
+        n_big = big.select(*bucket_cols).distinct().count()
+        if n_big:
+            logger.info(
+                "lsh bucket cap: %d buckets over %d members reduced to "
+                "star expansion (connectivity preserved, full pair "
+                "enumeration truncated)",
+                n_big,
+                max_bucket_size,
+            )
+
+    l, r = normal.alias("l"), normal.alias("r")
+    cond = F.col("l.id") < F.col("r.id")
+    for c in bucket_cols:
+        cond = (F.col(f"l.{c}") == F.col(f"r.{c}")) & cond
+    full = l.join(r, cond).select(
+        F.col("l.id").alias("a"), F.col("r.id").alias("b")
+    )
+    star = big.where(F.col("id") != F.col("_hub")).select(
+        F.col("_hub").alias("a"), F.col("id").alias("b")
+    )
+    return full.unionByName(star).distinct()
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -113,11 +164,13 @@ def lsh_candidate_pairs(
     k: int = 3,
     num_perm: int = 32,
     bands: int = 16,
+    max_bucket_size: int = 100,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) via LSH banding.
 
     One wide projection (signature), one explode (bands), one
-    self-join on (band_idx, band_hash). Returns distinct (a, b).
+    self-join on (band_idx, band_hash) guarded by
+    :func:`_bounded_bucket_pairs`. Returns distinct (a, b).
     """
     rows = num_perm // bands
     sig_udf = minhash_signature_udf(num_perm)
@@ -145,19 +198,7 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
-        .distinct()
-    )
-    return pairs
+    return _bounded_bucket_pairs(banded, ["band", "bucket"], max_bucket_size)
 
 
 def jaccard(a_hashes: Column, b_hashes: Column) -> Column:

@@ -105,11 +105,20 @@ def cosine_dup_pairs(
     threshold: float = 0.99,
     bits: int = 12,
     seed: int = 11,
+    max_bucket_size: int = 200,
 ) -> DataFrame:
     """Near-dup pairs (a < b) with exact cosine >= threshold, found via
     sign-LSH buckets. For thresholds near 1 the sign signature of the
     two vectors is (near-)identical, so bucket-equality recall is ~1;
-    the exact verify inside buckets removes all false candidates."""
+    the exact verify inside buckets removes all false candidates.
+
+    Degenerate-bucket guard: buckets over ``max_bucket_size`` (mass-
+    duplicated embeddings — common for boilerplate pages) switch to
+    star expansion via dedup._bounded_bucket_pairs, bounding candidates
+    at O(m) per bucket while keeping duplicate-cluster connectivity;
+    truncation is logged at INFO."""
+    from cmoncrawl_spark.operators.dedup import _bounded_bucket_pairs
+
     sample = vecs.select(vec_col).first()
     dim = len(sample[0])
     planes = hyperplanes(dim, bits, seed)
@@ -117,17 +126,17 @@ def cosine_dup_pairs(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).withColumn("bucket", sign_bucket(F.col("v"), planes))
-    l, r = keyed.alias("l"), keyed.alias("r")
-    sim = cosine(F.col("l.v"), F.col("r.v"))
+    cand = _bounded_bucket_pairs(
+        keyed.select("id", "bucket"), ["bucket"], max_bucket_size
+    )
+    va = keyed.select(F.col("id").alias("a"), F.col("v").alias("va"))
+    vb = keyed.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    sim = cosine(F.col("va"), F.col("vb"))
     return (
-        l.join(
-            r,
-            (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
+        cand.join(va, "a")
+        .join(vb, "b")
         .where(sim >= threshold)
-        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
-        .distinct()
+        .select("a", "b")
     )
 
 

@@ -119,3 +119,60 @@ def test_simhash_single_token_equals_token_hash(spark):
         .first()["h"]
     )
     assert got == want
+
+
+def test_degenerate_bucket_cap_bounded_and_connected(spark):
+    """1,000 identical docs: unguarded LSH would enumerate ~500k pairs
+    per band; the bucket cap must bound candidates to a star while
+    keeping the duplicate cluster fully connected (keep-min dedup
+    unchanged)."""
+    from cmoncrawl_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_dedup_pairs,
+    )
+
+    n = 1000
+    df = spark.createDataFrame(
+        [(i, "exact same boilerplate page text repeated for every doc "
+              "in this degenerate web corpus cluster") for i in range(n)],
+        "doc_id long, text string",
+    )
+    cand = lsh_candidate_pairs(df, max_bucket_size=50)
+    n_cand = cand.count()
+    # star expansion: one hub pairing with n-1 members (per dedup of
+    # identical band buckets), NOT ~n^2/2
+    assert n_cand == n - 1, f"candidates {n_cand}, want {n - 1}"
+    pairs = minhash_dedup_pairs(df, threshold=0.9)
+    rows = pairs.collect()
+    assert len(rows) == n - 1
+    # connectivity: keep-min over the pair graph dedups to ONE survivor
+    members = {r["a"] for r in rows} | {r["b"] for r in rows}
+    assert members == set(range(n))
+    assert all(r["a"] == 0 for r in rows)  # hub is the min id
+    assert all(r["jac_milli"] == 1000 for r in rows)
+
+
+def test_bucket_cap_no_change_on_normal_corpus(spark, sf_dir):
+    """On a well-separated corpus the cap must be a no-op: capped and
+    uncapped candidate sets are identical."""
+    from cmoncrawl_spark.operators.dedup import lsh_candidate_pairs
+
+    docs2 = _docs2(spark, sf_dir)
+    capped = {(r["a"], r["b"]) for r in lsh_candidate_pairs(docs2, max_bucket_size=100).collect()}
+    uncapped = {(r["a"], r["b"]) for r in lsh_candidate_pairs(docs2, max_bucket_size=10**9).collect()}
+    assert capped == uncapped
+
+
+def test_embedding_degenerate_bucket_cap(spark):
+    """500 identical embeddings: cosine_dup_pairs must return the star
+    (bounded), all verified at cosine 1."""
+    from cmoncrawl_spark.operators.similarity import cosine_dup_pairs
+
+    n = 500
+    vec = [float(x) for x in (0.25, -0.5, 0.125, 1.0, -0.75, 0.3, 0.9, -0.1)]
+    df = spark.createDataFrame(
+        [(i, vec) for i in range(n)], "vec_id long, embedding array<float>"
+    )
+    rows = cosine_dup_pairs(df, max_bucket_size=50).collect()
+    assert len(rows) == n - 1
+    assert all(r["a"] == 0 for r in rows)
