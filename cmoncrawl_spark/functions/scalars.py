@@ -75,6 +75,24 @@ def coalesce_fields(*cols: Column) -> Column:
     return F.coalesce(*cols)
 
 
+def parse_timestamp_col(s: Column) -> Column:
+    """X6 — ISO-union timestamp parse (reference common/types.py:11-21
+    accepts any datetime.fromisoformat input): space or 'T' separator,
+    optional fractional seconds / offset, date-only. NULL in -> NULL
+    out; unparseable -> NULL (try_ semantics — the DataFrame analog of
+    pydantic's validation error surfacing as a null row to filter)."""
+    pats = [
+        "yyyy-MM-dd HH:mm:ss",
+        "yyyy-MM-dd'T'HH:mm:ss",
+        "yyyy-MM-dd HH:mm:ss.SSSSSS",
+        "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+        "yyyy-MM-dd HH:mm:ssXXX",
+        "yyyy-MM-dd'T'HH:mm:ssXXX",
+        "yyyy-MM-dd",
+    ]
+    return F.coalesce(*[F.try_to_timestamp(s, F.lit(p)) for p in pats])
+
+
 def portable_hash64(s: Column) -> Column:
     """Engine-portable 64-bit hash: the little-endian uint64 of the
     LAST 8 md5 bytes, reinterpreted as signed int64 (two's complement).

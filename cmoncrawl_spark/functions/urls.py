@@ -42,20 +42,25 @@ _TRAILING_RE = r"[/\-0-9]+$"
 
 
 def _host_col(url: Column) -> Column:
-    # netloc (urlparse) vs parse_url HOST: identical for scheme-ful
-    # http(s) URLs without userinfo/port, which is the id's domain of
-    # validity (all golden vectors + cc-index urls).
     return F.parse_url(url, F.lit("HOST"))
 
 
-def unify_url_id_col(url: Column, host: Column | None = None) -> Column:
+def _netloc_col(url: Column) -> Column:
+    # The reference id keys on urlparse(url).netloc — which KEEPS
+    # userinfo and port ('user@h:8080'), unlike parse_url HOST. One
+    # regexp reproduces netloc exactly for scheme-ful URLs (and ''
+    # otherwise, same as urlparse on scheme-less input).
+    return F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+
+
+def unify_url_id_col(url: Column, netloc: Column | None = None) -> Column:
     """Canonical URL-seen id as a native expression chain (no UDF).
 
-    Pass ``host`` (an already-computed ``host_of(url)`` column) to
-    avoid re-parsing the URL — one fewer ParseUrl per row on the
-    frontier hot path.
+    Pass ``netloc`` (an already-computed ``_netloc_col(url)``) to avoid
+    re-parsing the URL on the frontier hot path. NOTE: the id keys on
+    the full netloc (reference helpers.py:54-57), not the bare host.
     """
-    host = _host_col(url) if host is None else host
+    host = _netloc_col(url) if netloc is None else netloc
     host = F.when(host.startswith("www."), F.substring(host, 5, 2048)).otherwise(
         host
     )

@@ -44,10 +44,14 @@ def _order_keys() -> list[Column]:
 
 
 def canonicalize(frontier: DataFrame, url_col: str = "url") -> DataFrame:
-    """Attach url_id (D1 canonical id) + host — all codegen expressions;
-    the URL is host-parsed once and reused by the id chain."""
+    """Attach url_id (D1 canonical id) + host — all codegen expressions.
+
+    host (politeness key) = parse_url HOST (the hostname); url_id keys
+    on the full netloc per the reference (urls._netloc_col) — the two
+    differ only for port/userinfo URLs, where politeness should indeed
+    group by hostname while the seen-id must match the reference."""
     return frontier.withColumn("host", host_of(F.col(url_col))).withColumn(
-        "url_id", unify_url_id_col(F.col(url_col), host=F.col("host"))
+        "url_id", unify_url_id_col(F.col(url_col))
     )
 
 

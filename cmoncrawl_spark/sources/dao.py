@@ -123,19 +123,42 @@ class RetryingDAO:
         raise last
 
 
-class HTTPRangeDAO:  # pragma: no cover - needs a network client
-    """S3 — production range GET ('bytes=o..o+l-1', dao/api.py:55-61).
+def _stdlib_http_client(timeout: float = 60.0):
+    """Default HTTP client on stdlib urllib (no third-party deps).
 
-    STUB: this container has no HTTP client library; inject one via
-    ``client`` (callable url, headers -> (status, bytes))."""
+    Returns callable (url, headers) -> (status, bytes). HTTPError
+    statuses are returned, not raised — the DAO decides retryability.
+    """
+    import urllib.error
+    import urllib.request
+
+    def client(url: str, headers: dict[str, str]) -> tuple[int, bytes]:
+        req = urllib.request.Request(url, headers=headers)
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                return resp.status, resp.read()
+        except urllib.error.HTTPError as e:
+            return e.code, b""
+
+    return client
+
+
+class HTTPRangeDAO:
+    """S3 — production range GET ('bytes=o..o+l-1', reference
+    dao/api.py:55-61). Default client is stdlib urllib; inject
+    ``client`` (callable url, headers -> (status, bytes)) to swap in a
+    pooled/async transport. Tested offline against a local Range-aware
+    http.server (tests/test_scalars_dao.py).
+
+    The reference's S3 path (dao/s3.py:65-101) reads the PUBLIC
+    commoncrawl bucket unsigned — over HTTPS that is exactly this DAO
+    pointed at the bucket endpoint (base_url=
+    'https://data.commoncrawl.org' or the S3 REST endpoint); signed
+    private-bucket access would inject a signing client here."""
 
     def __init__(self, base_url: str, client=None) -> None:
         self.base_url = base_url
-        if client is None:
-            raise NotImplementedError(
-                "no HTTP client in this environment; inject client="
-            )
-        self.client = client
+        self.client = client if client is not None else _stdlib_http_client()
 
     def fetch(self, filename: str, offset: int, length: int) -> bytes:
         url = f"{self.base_url.rstrip('/')}/{filename}"

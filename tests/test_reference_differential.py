@@ -127,8 +127,13 @@ def test_unify_matches_reference_on_synthetic(spark, sf_dir, ref_unify):
     st.builds(
         lambda scheme, www, host, path, suf: f"{scheme}://{www}{host}{path}{suf}",
         st.sampled_from(["http", "https"]),
-        st.sampled_from(["", "www.", "video.", "data.blog."]),
-        st.from_regex(r"[a-z][a-z0-9]{0,8}(\.[a-z]{2,3}){1,2}", fullmatch=True),
+        st.sampled_from(
+            ["", "www.", "video.", "data.blog.", "user@", "u:pw@www."]
+        ),
+        st.from_regex(
+            r"[a-z][a-z0-9]{0,8}(\.[a-z]{2,3}){1,2}(:\d{2,5})?",
+            fullmatch=True,
+        ),
         st.from_regex(
             r"(/[a-zA-Z0-9_\-\.~]{0,15}){0,4}", fullmatch=True
         ),

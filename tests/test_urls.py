@@ -144,3 +144,26 @@ def test_surt_basic():
     assert surt_py("http://example.com:80/x") == "com,example)/x"
     assert surt_py("http://example.com:8080/x") == "com,example:8080)/x"
     assert surt_py("https://sub.example.org/") == "org,example,sub)/"
+
+
+def test_unify_col_matches_py_at_netloc_boundary(spark):
+    """Ports/userinfo: the reference id keys on the FULL netloc
+    (helpers.py:54-57) — the Catalyst chain must agree with the Python
+    twin (and thus the reference) on these previously-untested inputs."""
+    from pyspark.sql import functions as F
+
+    urls = [
+        "http://host.com:8080/path-a",
+        "https://user@host.com/path-a",
+        "https://u:pw@www.host.com:443/sec/story-x",
+        "http://www.host.com:80/",
+        "http://host.com:80x/oops",   # malformed port: netloc is raw text
+        "https://host.com/@handle/post-b",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = {
+        r["url"]: r["id"]
+        for r in df.withColumn("id", unify_url_id_col(F.col("url"))).collect()
+    }
+    for u in urls:
+        assert got[u] == unify_url_id_py(u), u
