@@ -202,21 +202,18 @@ def dedupe_against_seen(
 
         probed = probe_cuckoo(
             candidates, shards, num_shards=num_shards, id_col=id_col
-        ).localCheckpoint(eager=True)
-        negatives = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
-        positives = probed.where(F.col("maybe_seen")).drop("maybe_seen")
-        survivors = positives.join(seen, on=id_col, how="left_anti")
-        return negatives.unionByName(survivors)
-    # The bloom-negative and bloom-positive branches below both consume
-    # `probed`; left lazy, Spark re-executes the shard build + cogroup
-    # probe once per branch (and a plain .persist() races when both
-    # branches materialize inside one job). localCheckpoint computes
-    # the probe exactly once — the same materialize-once the round
-    # checkpoint (north_rule resumability) performs anyway.
-    probed = probe(
-        candidates, shards, num_shards=num_shards, id_col=id_col
-    ).localCheckpoint(eager=True)
-    negatives = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
-    positives = probed.where(F.col("maybe_seen")).drop("maybe_seen")
-    survivors = positives.join(seen, on=id_col, how="left_anti")
-    return negatives.unionByName(survivors)
+        )
+    else:
+        probed = probe(candidates, shards, num_shards=num_shards, id_col=id_col)
+    # ONE conditional left_anti replaces the round-1 two-branch
+    # split+union (which needed a localCheckpoint to stop the cogroup
+    # probe executing twice): bloom-negatives can never match the join
+    # condition, so they stream through untouched; only positives are
+    # anti-checked. Exactness is unchanged (equivalence tests pin it)
+    # and the probe has exactly one consumer — no materialization.
+    s = seen.withColumnRenamed(id_col, "_seen_id")
+    return probed.join(
+        s,
+        (F.col(id_col) == F.col("_seen_id")) & F.col("maybe_seen"),
+        "left_anti",
+    ).drop("maybe_seen")
