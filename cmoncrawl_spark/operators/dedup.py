@@ -124,10 +124,15 @@ def _bounded_bucket_pairs(
     """
     import logging
 
-    sizes = keyed.groupBy(*bucket_cols).agg(
-        F.count("*").alias("_bsz"), F.min("id").alias("_hub")
+    from pyspark.sql import Window
+
+    # Bucket sizes via a window over the SAME key the self-join
+    # shuffles on — no extra aggregation+join pair; Spark reuses one
+    # exchange for the window and the (identical-plan) join sides.
+    w = Window.partitionBy(*bucket_cols)
+    tagged = keyed.withColumn("_bsz", F.count("*").over(w)).withColumn(
+        "_hub", F.min("id").over(w)
     )
-    tagged = keyed.join(sizes, bucket_cols)
     normal = tagged.where(F.col("_bsz") <= max_bucket_size)
     big = tagged.where(F.col("_bsz") > max_bucket_size)
 
@@ -215,6 +220,7 @@ def minhash_dedup_pairs(
     k: int = 3,
     num_perm: int = 32,
     bands: int = 16,
+    max_bucket_size: int = 100,
 ) -> DataFrame:
     """LSH candidates verified with EXACT Jaccard >= threshold.
 
@@ -223,7 +229,9 @@ def minhash_dedup_pairs(
     the exact verify removes every false candidate, so the result
     equals the O(n^2) oracle.
     """
-    cand = lsh_candidate_pairs(docs, id_col, text_col, k, num_perm, bands)
+    cand = lsh_candidate_pairs(
+        docs, id_col, text_col, k, num_perm, bands, max_bucket_size
+    )
     sh = docs.select(
         F.col(id_col).alias("id"),
         shingle_hashes(F.col(text_col), k).alias("hashes"),
