@@ -150,6 +150,18 @@ host_policies AS (
     CAST(floor(60.0 / (1 + length(url_host_name) % 7)) AS INT) AS budget,
     (length(url_host_name) % 11 = 3) AS robots_disallow_all
   FROM (SELECT DISTINCT url_host_name FROM pages) h
+),
+robots AS (
+  SELECT
+    host,
+    'User-agent: googlebot' || chr(10) || 'Disallow: /goog-only' || chr(10)
+    || chr(10) || '# synthetic robots' || chr(10)
+    || 'User-agent: *' || chr(10)
+    || 'Crawl-delay: ' || CAST(1 + length(host) % 7 AS STRING) || chr(10)
+    || CASE WHEN length(host) % 11 = 3 THEN 'Disallow: /'
+       ELSE 'Disallow: /private' || chr(10) || 'Allow: /private/ok' END
+    || chr(10) AS robots_txt
+  FROM (SELECT DISTINCT url_host_name AS host FROM pages) h
 )
 """
 
@@ -180,6 +192,9 @@ def register_crawl_views(spark: SparkSession, sf_dir: str) -> None:
     spark.sql(
         with_crawl_ctes("SELECT * FROM host_policies", frontier=True)
     ).createOrReplaceTempView("host_policies")
+    spark.sql(
+        with_crawl_ctes("SELECT * FROM robots", frontier=True)
+    ).createOrReplaceTempView("robots")
 
 
 #: charset per language — mirrors ccindex.content_charset above.

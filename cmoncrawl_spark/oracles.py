@@ -121,6 +121,31 @@ def oracles() -> dict[str, str]:
     )
     o["q_frontier_round"] = with_crawl_ctes(_FRONTIER_ROUND_SQL, frontier=True)
     o["q_frontier_round_exact"] = o["q_frontier_round"]
+    # robots round-trip: the robots CTE text is synthesized FROM
+    # host_policies' formulas, so the parsed policies must reproduce it.
+    o["q_robots_policies"] = with_crawl_ctes(
+        "SELECT host, crawl_delay_s, robots_disallow_all FROM host_policies",
+        frontier=True,
+    )
+    o["q_robots_allowed"] = with_crawl_ctes(
+        """
+        SELECT doc_id,
+               'https://' || url_host_name ||
+               CASE CAST(doc_id % 4 AS INT)
+                 WHEN 0 THEN '/private/x'
+                 WHEN 1 THEN '/private/ok/y'
+                 WHEN 2 THEN '/'
+                 ELSE path
+               END AS url,
+               CASE
+                 WHEN length(url_host_name) % 11 = 3 THEN false
+                 WHEN doc_id % 4 = 0 THEN false
+                 ELSE true
+               END AS allowed
+        FROM pages
+        """,
+        frontier=True,
+    )
     o["q_politeness_budgets"] = with_crawl_ctes(
         "SELECT host, crawl_delay_s, budget, robots_disallow_all "
         "FROM host_policies",

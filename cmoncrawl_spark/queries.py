@@ -245,6 +245,50 @@ def q_frontier_round_exact(spark, sf_dir):
     )
 
 
+def q_robots_policies(spark, sf_dir):
+    """robots.txt parser end-to-end: synthesized per-host robots text
+    -> parse_robots (group tracking, agent selection) ->
+    host_policies_from_robots. The oracle is the host_policies CTE the
+    robots text was synthesized FROM — a real round-trip differential
+    through the full REP parser."""
+    from cmoncrawl_spark.operators.robots import (
+        host_policies_from_robots,
+        parse_robots,
+    )
+
+    register_crawl_views(spark, sf_dir)
+    rules = parse_robots(spark.table("robots"), agent="*")
+    return host_policies_from_robots(rules).select(
+        "host", "crawl_delay_s", "robots_disallow_all"
+    )
+
+
+def q_robots_allowed(spark, sf_dir):
+    """RFC 9309 longest-match allow/disallow per URL (Allow wins ties):
+    synthetic URL variants hit /private (disallowed), /private/ok/...
+    (re-allowed by the longer Allow), '/' and regular paths
+    (unmatched -> allowed); disallow-all hosts block everything."""
+    from cmoncrawl_spark.operators.robots import parse_robots, urls_allowed
+
+    register_crawl_views(spark, sf_dir)
+    urls = spark.sql(
+        """
+        SELECT doc_id,
+               'https://' || url_host_name ||
+               CASE CAST(doc_id % 4 AS INT)
+                 WHEN 0 THEN '/private/x'
+                 WHEN 1 THEN '/private/ok/y'
+                 WHEN 2 THEN '/'
+                 ELSE path
+               END AS url,
+               url_host_name AS host
+        FROM pages
+        """
+    )
+    rules = parse_robots(spark.table("robots"), agent="*")
+    return urls_allowed(urls, rules).select("doc_id", "url", "allowed")
+
+
 def q_politeness_budgets(spark, sf_dir):
     register_crawl_views(spark, sf_dir)
     return spark.table("host_policies").select(
