@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_frontier_round_exact": q.q_frontier_round_exact,
         "q_politeness_budgets": q.q_politeness_budgets,
         "q_robots_policies": q.q_robots_policies,
+        "q_opic_round": q.q_opic_round,
         "q_robots_allowed": q.q_robots_allowed,
         "q_token_count": q.q_token_count,
         "q_quality_stats": q.q_quality_stats,

@@ -152,6 +152,39 @@ def scheduling_round(
     return out
 
 
+def opic_round(cash: DataFrame, links: DataFrame) -> DataFrame:
+    """One OPIC cash-distribution round (Abiteboul/Preda/Cobena,
+    "Adaptive On-Line Page Importance Computation", WWW'03) — the
+    north_star's OPIC priority source.
+
+    Every fetched page splits its cash equally over its outlinks; a
+    target's received cash becomes (part of) its scheduling priority
+    next round. Shapes: cash(url_id, cash_micro:long),
+    links(src_id, dst_id). Returns (dst_id, cash_micro, in_links).
+
+    Integer micro-cash units (floor division) keep the result exactly
+    reproducible at any parallelism AND oracle-able — double summation
+    order varies across engines. Plan: two shuffles (degree agg +
+    receive agg), both map-side combinable; the cash join broadcasts
+    when the fetched set is small, shuffle-hash at scale.
+    """
+    deg = links.groupBy("src_id").agg(F.count("*").alias("_deg"))
+    shares = (
+        links.join(deg, "src_id")
+        .join(cash.withColumnRenamed("url_id", "src_id"), "src_id")
+        .select(
+            "dst_id",
+            F.floor(F.col("cash_micro") / F.col("_deg"))
+            .cast("long")
+            .alias("share"),
+        )
+    )
+    return shares.groupBy("dst_id").agg(
+        F.sum("share").alias("cash_micro"),
+        F.count("*").cast("int").alias("in_links"),
+    )
+
+
 def round_metrics(
     frontier: DataFrame,
     scheduled: DataFrame,

@@ -146,6 +146,28 @@ def oracles() -> dict[str, str]:
         """,
         frontier=True,
     )
+    o["q_opic_round"] = with_crawl_ctes(
+        """
+        , srcs AS (
+          SELECT DISTINCT canonical_expected AS src_id, pair_id FROM pages
+        ),
+        links AS (
+          SELECT src_id,
+                 'n' || CAST((pair_id * 7 + k) % 211 AS STRING) AS dst_id
+          FROM srcs CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)
+          WHERE k < 3 OR pair_id % 3 = 0
+        ),
+        deg AS (SELECT src_id, count(*) AS d FROM links GROUP BY src_id),
+        shares AS (
+          SELECT dst_id, CAST(floor(1000000.0 / d) AS BIGINT) AS share
+          FROM links JOIN deg USING (src_id)
+        )
+        SELECT dst_id, CAST(sum(share) AS BIGINT) AS cash_micro,
+               CAST(count(*) AS INT) AS in_links
+        FROM shares GROUP BY dst_id
+        """,
+        frontier=True,
+    )
     o["q_politeness_budgets"] = with_crawl_ctes(
         "SELECT host, crawl_delay_s, budget, robots_disallow_all "
         "FROM host_policies",

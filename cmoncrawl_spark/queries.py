@@ -289,6 +289,34 @@ def q_robots_allowed(spark, sf_dir):
     return urls_allowed(urls, rules).select("doc_id", "url", "allowed")
 
 
+def q_opic_round(spark, sf_dir):
+    """OPIC cash distribution over a synthetic link graph (each
+    canonical page links to 2-3 derived targets; pages with pair_id%3=0
+    get a third link so floor-division paths differ). Exact integer
+    micro-cash — hash-stable across engines."""
+    from cmoncrawl_spark.operators.frontier import opic_round
+
+    register_crawl_views(spark, sf_dir)
+    srcs = spark.sql(
+        "SELECT DISTINCT canonical_expected AS src_id, pair_id FROM pages"
+    )
+    links = spark.sql(
+        """
+        SELECT src_id,
+               'n' || CAST((pair_id * 7 + k) % 211 AS STRING) AS dst_id
+        FROM (SELECT DISTINCT canonical_expected AS src_id, pair_id
+              FROM pages)
+        LATERAL VIEW explode(array(1, 2, 3)) t AS k
+        WHERE k < 3 OR pair_id % 3 = 0
+        """
+    )
+    cash = srcs.select(
+        F.col("src_id").alias("url_id"),
+        F.lit(1_000_000).cast("long").alias("cash_micro"),
+    )
+    return opic_round(cash, links).select("dst_id", "cash_micro", "in_links")
+
+
 def q_politeness_budgets(spark, sf_dir):
     register_crawl_views(spark, sf_dir)
     return spark.table("host_policies").select(
