@@ -82,11 +82,17 @@ def image_features(media: DataFrame) -> DataFrame:
     partition, payload bytes never hit the driver.
     """
 
+    # Capture the hook AT PLAN TIME: executors re-import this module,
+    # so a lazily-read global set via set_image_decoder on the driver
+    # would silently be None in the Python workers. Closure-captured,
+    # cloudpickle ships the actual function.
+    decoder = _IMAGE_DECODER or _fake_pixels
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, means, hists = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                px = decode_image(bytes(payload)).astype(np.float32)
+                px = decoder(bytes(payload)).astype(np.float32)
                 ids.append(int(mid))
                 means.append([float(x) for x in px.mean(axis=(0, 1))])
                 lum = px.mean(axis=2)
@@ -100,6 +106,115 @@ def image_features(media: DataFrame) -> DataFrame:
     return media.where(F.col("kind") == "image").select(
         "media_id", "payload"
     ).mapInPandas(run, FEATURE_SCHEMA)
+
+
+#: pluggable audio decoder: bytes -> (samples float32 ndarray, rate hz)
+_AUDIO_DECODER: Callable[[bytes], tuple[np.ndarray, int]] | None = None
+
+
+def set_audio_decoder(
+    fn: Callable[[bytes], tuple[np.ndarray, int]] | None,
+) -> None:
+    global _AUDIO_DECODER
+    _AUDIO_DECODER = fn
+
+
+def _fake_waveform(payload: bytes, n: int = 2048) -> tuple[np.ndarray, int]:
+    """Deterministic stand-in decode (same doctrine as _fake_pixels)."""
+    digest = hashlib.blake2b(payload, digest_size=8).digest()
+    seed = struct.unpack("<Q", digest)[0]
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal(n).astype(np.float32), 16_000
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    if _AUDIO_DECODER is not None:
+        return _AUDIO_DECODER(payload)
+    return _fake_waveform(payload)
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("rms", FloatType()),
+        StructField("zero_cross_rate", FloatType()),
+        StructField("n_samples", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """decode -> RMS + zero-crossing rate. Same contract as
+    image_features: Arrow batches, numpy math real, codec stubbed."""
+
+    # plan-time capture — see image_features for why.
+    decoder = _AUDIO_DECODER or _fake_waveform
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                wave, rate = decoder(bytes(payload))
+                rms = float(np.sqrt(np.mean(wave**2))) if len(wave) else 0.0
+                zc = (
+                    float(np.mean(np.abs(np.diff(np.signbit(wave)))))
+                    if len(wave) > 1
+                    else 0.0
+                )
+                rows.append((int(mid), rms, zc, len(wave), rate))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "rms", "zero_cross_rate", "n_samples",
+                    "sample_rate",
+                ],
+            )
+
+    return media.where(F.col("kind") == "audio").select(
+        "media_id", "payload"
+    ).mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("pixels", BinaryType()),  # raw RGB bytes, row-major
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+    ]
+)
+
+
+def image_resize(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
+    """decode -> nearest-neighbor resize -> raw RGB bytes.
+
+    The resize math (index-grid sampling) is REAL numpy; only the codec
+    boundary is stubbed. Output is raw bytes + dims — the shape a
+    training-data writer (e.g. webdataset-style) consumes."""
+
+    # plan-time capture — see image_features for why.
+    decoder = _IMAGE_DECODER or _fake_pixels
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decoder(bytes(payload))
+                h, w = px.shape[:2]
+                yi = (np.arange(out_h) * h // out_h).astype(np.int64)
+                xi = (np.arange(out_w) * w // out_w).astype(np.int64)
+                small = px[yi][:, xi]
+                rows.append(
+                    (int(mid), small.astype(np.uint8).tobytes(), out_w, out_h)
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "pixels", "out_w", "out_h"]
+            )
+
+    return media.where(F.col("kind") == "image").select(
+        "media_id", "payload"
+    ).mapInPandas(run, RESIZED_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

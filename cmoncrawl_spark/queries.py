@@ -428,6 +428,20 @@ def q_image_features(spark, sf_dir):
     )
 
 
+def q_audio_features(spark, sf_dir):
+    """Audio plumbing twin of q_image_features: synthetic media ->
+    Arrow-batched RMS/zero-cross features (decode stubbed; no oracle —
+    binary payloads; pytest pins determinism + pluggable decoder)."""
+    from cmoncrawl_spark.operators.multimodal import audio_features, synth_media
+
+    return audio_features(synth_media(spark, 64)).select(
+        "media_id",
+        F.round(F.col("rms"), 3).alias("rms_r"),
+        "n_samples",
+        "sample_rate",
+    )
+
+
 def q_doc_fingerprint(spark, sf_dir):
     load_tables(spark, sf_dir, ("documents",))
     return spark.table("documents").select(

@@ -166,3 +166,55 @@ def test_multimodal_features_deterministic(spark):
     plan = frame_sample_plan(media, every_ms=1000)
     rows = plan.groupBy("media_id").count().collect()
     assert rows and all(r["count"] >= 1 for r in rows)
+
+
+def test_audio_features_deterministic_and_shaped(spark):
+    from cmoncrawl_spark.operators.multimodal import audio_features, synth_media
+
+    media = synth_media(spark, 30)
+    a = {r["media_id"]: (r["rms"], r["zero_cross_rate"], r["n_samples"], r["sample_rate"])
+         for r in audio_features(media).collect()}
+    b = {r["media_id"]: (r["rms"], r["zero_cross_rate"], r["n_samples"], r["sample_rate"])
+         for r in audio_features(media.repartition(5)).collect()}
+    assert a == b and len(a) == 10  # ids % 3 == 1
+    for rms, zcr, n, rate in a.values():
+        assert rms > 0 and 0 <= zcr <= 1 and n == 2048 and rate == 16000
+
+
+def test_audio_decoder_pluggable(spark):
+    import numpy as np
+
+    from cmoncrawl_spark.operators import multimodal as mm
+
+    mm.set_audio_decoder(lambda b: (np.ones(4, dtype=np.float32), 8000))
+    try:
+        row = mm.audio_features(mm.synth_media(spark, 6)).first()
+        assert row["rms"] == 1.0 and row["zero_cross_rate"] == 0.0
+        assert row["n_samples"] == 4 and row["sample_rate"] == 8000
+    finally:
+        mm.set_audio_decoder(None)
+
+
+def test_image_resize_bytes_and_dims(spark):
+    import numpy as np
+
+    from cmoncrawl_spark.operators.multimodal import (
+        decode_image,
+        image_resize,
+        synth_media,
+    )
+
+    media = synth_media(spark, 12)
+    rows = image_resize(media, out_w=4, out_h=2).collect()
+    assert len(rows) == 4  # ids % 3 == 0
+    for r in rows:
+        assert r["out_w"] == 4 and r["out_h"] == 2
+        assert len(bytes(r["pixels"])) == 4 * 2 * 3
+    # resize of the fake decode is reproducible pixel math
+    payload = b"payload-0"
+    px = decode_image(payload)
+    want = px[(np.arange(2) * px.shape[0] // 2)][:, (np.arange(4) * px.shape[1] // 4)]
+    got = np.frombuffer(bytes(
+        {r["media_id"]: r for r in rows}[0]["pixels"]), dtype=np.uint8
+    ).reshape(2, 4, 3)
+    assert (got == want).all()
