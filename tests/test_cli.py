@@ -1,0 +1,149 @@
+"""CLI end-to-end — the `cmon` UX mirrored over the Spark engine.
+
+Replays the reference's own end-to-end scenarios
+(/root/reference/tests/end_to_end_test.py) against our CLI: extract
+from file.html (HTML mode) and from file.jsonl's embedded captures
+(record mode) must emit the golden title; download (record mode) must
+emit sorted-keys {"domain_record": {...}} lines."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from cmoncrawl_spark.cli import main
+
+FIXTURE_DIR = "/root/reference/tests/test_extract/files"
+GOLDEN_TITLE = (
+    '<title data-document-head-keeper="0">'
+    "Seznam – najdu tam, co neznám</title>"
+)
+
+needs_fixtures = pytest.mark.skipif(
+    not os.path.isdir(FIXTURE_DIR), reason="reference fixtures not present"
+)
+
+
+def _read_jsonl_dir(path: str) -> list[dict]:
+    rows = []
+    for root, _d, files in os.walk(path):
+        for name in files:
+            if name.startswith("part-") and not name.endswith(".crc"):
+                with open(os.path.join(root, name)) as f:
+                    rows += [json.loads(l) for l in f if l.strip()]
+    return rows
+
+
+@pytest.fixture()
+def plugin_cfg(tmp_path):
+    exdir = tmp_path / "extractors"
+    exdir.mkdir()
+    (exdir / "title_raw.py").write_text(
+        "from cmoncrawl_spark.extraction.extractor import TitleTagExtractor\n"
+        "NAME = 'title_raw'\n"
+        "extractor = TitleTagExtractor()\n"
+    )
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(
+        json.dumps(
+            {
+                "extractors_path": str(exdir),
+                "routes": [
+                    {
+                        "regexes": [".*"],
+                        "extractors": [
+                            {"name": "title_raw", "since": "2009-01-01T00:00:00"}
+                        ],
+                    }
+                ],
+            }
+        )
+    )
+    return str(cfg)
+
+
+@needs_fixtures
+def test_cli_extract_html_mode(spark, plugin_cfg, tmp_path):
+    out = str(tmp_path / "out_html")
+    main(
+        [
+            "extract", plugin_cfg, out,
+            os.path.join(FIXTURE_DIR, "file.html"), "html",
+        ]
+    )
+    rows = _read_jsonl_dir(out)
+    assert len(rows) == 1
+    assert rows[0]["title"] == GOLDEN_TITLE
+
+
+@needs_fixtures
+def test_cli_extract_record_mode(spark, plugin_cfg, tmp_path):
+    out = str(tmp_path / "out_rec")
+    main(
+        [
+            "extract", plugin_cfg, out,
+            os.path.join(FIXTURE_DIR, "file.jsonl"), "record",
+        ]
+    )
+    rows = _read_jsonl_dir(out)
+    titles = [r["title"] for r in rows]
+    assert len(rows) == 2  # the two embedded-payload captures
+    assert GOLDEN_TITLE in titles
+
+
+def test_cli_download_record_mode(spark, tmp_path, sf_dir):
+    out = str(tmp_path / "out_dl")
+    main(
+        [
+            "download", out, "hot-domain.com", "record",
+            "--match_type", "domain", "--limit", "7",
+            "--table_dir", sf_dir,
+        ]
+    )
+    rows = _read_jsonl_dir(out)
+    assert len(rows) == 7
+    for r in rows:
+        dr = r["domain_record"]
+        # reference JSONL contract: sorted keys, filename/offset/length
+        assert list(r.keys()) == ["domain_record"]
+        assert "filename" in dr and "offset" in dr and "length" in dr
+        assert "hot-domain.com" in dr["url"]
+
+
+def test_cli_download_html_mode_local_dao(spark, tmp_path, sf_dir):
+    """html download through the LocalFileDAO: stage a fake archive at
+    the recorded (filename, offset, length) and check payload bytes."""
+    from cmoncrawl_spark.datagen import register_crawl_views
+
+    register_crawl_views(spark, sf_dir)
+    recs = (
+        spark.table("ccindex")
+        .where("url_host_name = 'blog.hot-domain.com'")
+        .groupBy("warc_filename")
+        .agg({"warc_record_offset": "max", "warc_record_length": "max"})
+        .collect()
+    )
+    base = tmp_path / "archives"
+    for r in recs:
+        p = base / r["warc_filename"]
+        p.parent.mkdir(parents=True, exist_ok=True)
+        size = (
+            r["max(warc_record_offset)"] + r["max(warc_record_length)"]
+        )
+        with open(p, "wb") as f:
+            f.write(bytes(i % 251 for i in range(size)))
+    out = str(tmp_path / "out_html_dl")
+    main(
+        [
+            "download", out, "blog.hot-domain.com", "html",
+            "--match_type", "host", "--limit", "3",
+            "--table_dir", sf_dir, "--dao_base", str(base),
+        ]
+    )
+    # one html file per record, url-mangled names
+    found = []
+    for root, _d, files in os.walk(out):
+        found += [f for f in files if not f.endswith(".crc") and f.startswith("part-")]
+    assert len(found) >= 1
