@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": q.q_ngram_jaccard,
         "q_embed_dup_pairs": q.q_embed_dup_pairs,
         "q_cosine_topk": q.q_cosine_topk,
+        "q_ann_topk": q.q_ann_topk,
     }
 
 

@@ -445,6 +445,45 @@ def oracles() -> dict[str, str]:
                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
           FROM events) t
     """
+    # ANN: identical seeded hyperplanes as SQL literals; bucket bits and
+    # cosine reranks reproduce Spark's in-order double math (the same
+    # list_dot_product compatibility q_cosine_topk relies on).
+    from cmoncrawl_spark.operators.similarity import hyperplanes
+    from cmoncrawl_spark.queries import ANN_BITS, ANN_SEED
+
+    _planes = hyperplanes(64, ANN_BITS, ANN_SEED)
+
+    def _arr(p):
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+
+    def _bucket(v):
+        return " || ".join(
+            f"(CASE WHEN list_dot_product({v}, {_arr(p)}) >= 0 "
+            "THEN '1' ELSE '0' END)"
+            for p in _planes
+        )
+
+    o["q_ann_topk"] = f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        keyed AS (SELECT vec_id, v, {_bucket('v')} AS bucket FROM e),
+        qb AS (SELECT {_bucket('qv')} AS b FROM q),
+        cand AS (
+          SELECT k.vec_id,
+                 list_dot_product(k.v, q.qv) /
+                 (sqrt(list_dot_product(k.v, k.v)) *
+                  sqrt(list_dot_product(q.qv, q.qv))) AS sim
+          FROM keyed k, q, qb WHERE k.bucket = qb.b
+        )
+        SELECT vec_id, rank FROM (
+          SELECT vec_id,
+                 CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC)
+                      AS INT) AS rank
+          FROM cand) t
+        WHERE rank <= 10
+    """
     o["q_cosine_topk"] = """
         WITH q AS (
           SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings

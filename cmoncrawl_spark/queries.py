@@ -650,6 +650,25 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+ANN_BITS = 8
+ANN_SEED = 11
+
+
+def q_ann_topk(spark, sf_dir):
+    """LSH-bucketed ANN top-10 for the vec_id=0 query: scan only the
+    query's sign bucket, exact rerank inside. Oracle-checked — the
+    DuckDB twin gets the same seeded hyperplanes as SQL literals and
+    reproduces bucket bits and cosine ranks bit-for-bit."""
+    from cmoncrawl_spark.operators.similarity import ann_topk
+
+    load_tables(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings")
+    qv = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    return ann_topk(emb, qv, k=10, bits=ANN_BITS, seed=ANN_SEED).select(
+        "vec_id", "rank"
+    )
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 vs the vec_id=0 query vector.
 
