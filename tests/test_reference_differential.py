@@ -191,3 +191,128 @@ def test_index_query_matches_reference_sql(spark, sf_dir, ref_athena):
         )
         assert ref_rows == ours, (urls, ref_mt, len(ref_rows), len(ours))
         assert len(ref_rows) > 0, ("case matched nothing", urls)
+
+
+# --------------------------------------------------------------------------
+# Encoding cascade differential (F12 — the byte-identity invariant's core)
+# --------------------------------------------------------------------------
+
+_REF_ENC_CACHE: dict = {}
+
+
+def _ref_encode_fns():
+    """AST-extract BaseExtractor.encode/preprocess as plain functions."""
+    if "encode" in _REF_ENC_CACHE:
+        return _REF_ENC_CACHE["encode"], _REF_ENC_CACHE["preprocess"]
+    import ast as _ast
+
+    path = f"{REF}/processor/pipeline/extractor.py"
+    tree = _ast.parse(open(path).read())
+    fns = {}
+    for node in tree.body:
+        if isinstance(node, _ast.ClassDef) and node.name == "BaseExtractor":
+            for item in node.body:
+                if isinstance(item, _ast.FunctionDef) and item.name in (
+                    "encode",
+                    "preprocess",
+                ):
+                    fns[item.name] = item
+    assert set(fns) == {"encode", "preprocess"}
+
+    class _Logger:
+        def warn(self, *a, **k):
+            pass
+
+    ns: dict = {"metadata_logger": _Logger(), "Dict": dict}
+    for f in fns.values():
+        mod = _ast.Module(body=[f], type_ignores=[])
+        exec(compile(mod, path, "exec"), ns)
+    _REF_ENC_CACHE["encode"] = ns["encode"]
+    _REF_ENC_CACHE["preprocess"] = ns["preprocess"]
+    return ns["encode"], ns["preprocess"]
+
+
+class _FakeDR:
+    def __init__(self, encoding):
+        self.encoding = encoding
+
+
+class _FakeMeta:
+    def __init__(self, record_encoding, content_type):
+        self.encoding = "latin-1"  # downloader default (types.py:65-66,77)
+        self.domain_record = _FakeDR(record_encoding)
+        self.http_header = (
+            {"Content-Type": content_type} if content_type is not None else {}
+        )
+
+
+class _FakeSelf:
+    def __init__(self, forced, raise_on_encoding=False):
+        self.encoding = forced
+        self.raise_on_encoding = raise_on_encoding
+
+
+def _ref_cascade(raw, forced, record_encoding, content_type):
+    encode, preprocess = _ref_encode_fns()
+    _FakeSelf.encode = encode  # preprocess calls self.encode(...)
+    meta = _FakeMeta(record_encoding, content_type)
+    self_ = _FakeSelf(forced)
+    # the reference downloader decodes WARC bytes with meta.encoding
+    # (latin-1, byte-transparent) before preprocess runs
+    response = raw.decode(meta.encoding)
+    out = preprocess(self_, response, meta)
+    return out, meta.encoding
+
+
+_ENCS = [None, "utf-8", "ISO-8859-1", "windows-1250", "big5", "no-such-codec"]
+_CTYPES = [
+    None,
+    "",
+    "text/html",
+    "text/html; charset=utf-8",
+    "text/html; charset=windows-1250",
+    "text/html; charset=",
+    "text/html; charset=bogus",
+    "a; charset=b; charset=big5",  # multiple charset= pieces
+]
+_TEXTS = ["", "plain ascii", "ünïcodé ™ Doc", "Seznam – neznám", "中文测试页"]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.sampled_from(_TEXTS),
+    st.sampled_from(["utf-8", "ISO-8859-1", "windows-1250", "utf-16"]),
+    st.sampled_from(_ENCS),
+    st.sampled_from(_ENCS),
+    st.sampled_from(_CTYPES),
+    st.booleans(),
+)
+def test_encoding_cascade_matches_reference(
+    text, payload_enc, forced, record_enc, ctype, crlf
+):
+    from cmoncrawl_spark.extraction.encoding import decode_cascade
+
+    try:
+        raw = (text + ("\r\nend" if crlf else " end")).encode(
+            payload_enc, errors="ignore"
+        )
+    except LookupError:
+        return
+    want_text, want_enc = _ref_cascade(raw, forced, record_enc, ctype)
+    got_text, got_enc = decode_cascade(
+        raw,
+        forced_encoding=forced,
+        record_encoding=record_enc,
+        content_type=ctype,
+    )
+    assert got_text == want_text
+    assert got_enc == want_enc
+
+
+def test_encoding_cascade_garbage_bytes_match_reference():
+    from cmoncrawl_spark.extraction.encoding import decode_cascade
+
+    raw = bytes([0x81, 0x81, 0x82, 0x83])  # the reference fixture bytes
+    want_text, want_enc = _ref_cascade(raw, None, None, None)
+    got_text, got_enc = decode_cascade(raw)
+    assert (got_text, got_enc) == (want_text, want_enc)
