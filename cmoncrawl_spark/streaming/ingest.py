@@ -54,6 +54,45 @@ def hostwise_ingest_counts(
     )
 
 
+def stateful_host_admitter(
+    records: DataFrame,
+    budget_per_host: int = 100,
+) -> DataFrame:
+    """Custom stateful operator: per-host CUMULATIVE admission budget
+    across micro-batches (applyInPandasWithState).
+
+    The windowed agg above forgets between windows; a crawl's politeness
+    ledger must not — each host carries a running admitted-count, and a
+    URL is admitted only while the ledger is under budget. State =
+    one int per host, updated per micro-batch; emitted rows carry the
+    1-based admit_seq. This is the streaming twin of the batch round's
+    per-host top-k, with GroupState replacing the window.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def admit(key, pdfs, state: GroupState):
+        (host,) = key
+        n = state.get[0] if state.exists else 0
+        out = []
+        for pdf in pdfs:
+            for url in pdf["url"]:
+                if n < budget_per_host:
+                    n += 1
+                    out.append((host, url, n))
+        state.update((n,))
+        yield pd.DataFrame(out, columns=["host", "url", "admit_seq"])
+
+    keyed = records.withColumn("host", host_of(F.col("url")))
+    return keyed.groupBy("host").applyInPandasWithState(
+        admit,
+        outputStructType="host string, url string, admit_seq int",
+        stateStructType="admitted int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_ingest_to_memory(
     spark: SparkSession,
     path: str,

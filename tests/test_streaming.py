@@ -57,3 +57,64 @@ def test_streaming_ingest_counts(spark, tmp_path):
         assert got2[("2023-01-01 10:00:00", "a.com")] == 3
     finally:
         q.stop()
+
+
+def test_stateful_host_admitter_budget_spans_microbatches(spark, tmp_path):
+    """The GroupState ledger must persist ACROSS micro-batches: wave 1
+    admits 3 of budget 5; wave 2 brings 4 more but only 2 fit."""
+    from cmoncrawl_spark.streaming.ingest import (
+        stateful_host_admitter,
+        stream_domain_records,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+
+    def rec(url):
+        return json.dumps(
+            {
+                "domain_record": {
+                    "filename": "f",
+                    "url": url,
+                    "offset": 0,
+                    "length": 1,
+                    "timestamp": "2023-01-01 10:00:00",
+                },
+                "additional_info": {},
+            }
+        )
+
+    (land / "w1.jsonl").write_text(
+        "\n".join(rec(f"https://a.com/{i}") for i in range(3))
+        + "\n"
+        + rec("https://b.com/0")
+    )
+    admitted = stateful_host_admitter(
+        stream_domain_records(spark, str(land)), budget_per_host=5
+    )
+    q = (
+        admitted.writeStream.format("memory")
+        .queryName("t_admit")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from t_admit").collect()
+        by_host = {}
+        for r in rows:
+            by_host.setdefault(r["host"], []).append(r["admit_seq"])
+        assert sorted(by_host["a.com"]) == [1, 2, 3]
+        assert sorted(by_host["b.com"]) == [1]
+
+        # wave 2: 4 more a.com urls -> only seq 4,5 admitted (budget 5)
+        (land / "w2.jsonl").write_text(
+            "\n".join(rec(f"https://a.com/x{i}") for i in range(4))
+        )
+        q.processAllAvailable()
+        rows2 = spark.sql("select * from t_admit").collect()
+        a_seqs = sorted(r["admit_seq"] for r in rows2 if r["host"] == "a.com")
+        assert a_seqs == [1, 2, 3, 4, 5], a_seqs
+    finally:
+        q.stop()
