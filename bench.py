@@ -67,6 +67,27 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         per_query[name] = round(time.monotonic() - t0, 3)
 
+    # the real multi-round system: 3 checkpointed rounds with link
+    # expansion and INCREMENTAL bloom merge (O(round), not O(history)).
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cmoncrawl_spark.datagen import register_crawl_views
+    from cmoncrawl_spark.streaming.rounds import StateStore, run_crawl
+
+    register_crawl_views(spark, sf_dir)
+    seeds = spark.table("pages").select("url", "depth", "priority")
+    policies = spark.table("host_policies")
+    state_dir = tempfile.mkdtemp(prefix="bench_rounds_")
+    try:
+        t0 = time.monotonic()
+        run_crawl(StateStore(spark, state_dir), seeds, policies, rounds=3)
+        per_query["crawl_3_rounds"] = round(time.monotonic() - t0, 3)
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     out = {
         "metric": "frontier_round_sec",

@@ -89,3 +89,34 @@ def test_exact_tie_allow_wins(spark):
         [(1, "https://h.com/p/z", "h.com")], "id long, url string, host string"
     )
     assert urls_allowed(urls, rules).first()["allowed"] is True
+
+
+def test_round_from_parsed_robots_equals_policy_table(spark, sf_dir):
+    """Composition: robots.txt -> parsed policies (+ budget formula)
+    -> scheduling_round must equal the round driven by the synthetic
+    host_policies table the robots text was generated from."""
+    from cmoncrawl_spark.datagen import register_crawl_views
+    from cmoncrawl_spark.operators.frontier import scheduling_round
+
+    register_crawl_views(spark, sf_dir)
+    frontier = spark.table("pages").select("url", "depth", "priority")
+    seen = spark.table("seen")
+
+    parsed = host_policies_from_robots(
+        parse_robots(spark.table("robots"), agent="*")
+    ).select(
+        "host",
+        F.floor(60.0 / F.col("crawl_delay_s")).cast("int").alias("budget"),
+        "robots_disallow_all",
+    )
+    via_robots = {
+        tuple(r)
+        for r in scheduling_round(frontier, seen, parsed).collect()
+    }
+    via_table = {
+        tuple(r)
+        for r in scheduling_round(
+            frontier, seen, spark.table("host_policies")
+        ).collect()
+    }
+    assert via_robots == via_table and len(via_robots) > 0
