@@ -61,6 +61,22 @@ class StateStore:
         with open(os.path.join(self.dir, f"_round_{round_id}.json"), "w") as f:
             json.dump(info, f)
 
+    def read_all(self, name: str, upto_round: int) -> DataFrame:
+        """Union of a table's per-round deltas for rounds 0..upto."""
+        paths = [
+            self._path(name, r)
+            for r in range(upto_round + 1)
+            if os.path.isdir(self._path(name, r))
+        ]
+        return self.spark.read.parquet(*paths)
+
+    def round_info(self, round_id: int) -> dict:
+        p = os.path.join(self.dir, f"_round_{round_id}.json")
+        if round_id < 0 or not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
     def last_committed_round(self) -> int:
         rounds = [
             int(f[len("_round_") : -len(".json")])
@@ -120,7 +136,13 @@ def run_round(
         seen = spark.createDataFrame([], "url_id string")
         shards = None
     else:
-        seen = store.read("seen", round_id - 1)
+        # seen is APPEND-ONLY: each round persisted only ITS new ids
+        # (deltas are disjoint by construction — scheduling_round only
+        # emits unseen urls). Reading the union of deltas costs the
+        # same scan as one big table; REWRITING the full set per round
+        # (the round-1 design) was O(history) write per round — the
+        # same scale bug VERDICT flagged for the bloom rebuild.
+        seen = store.read_all("seen_delta", round_id - 1)
         shards = store.read("bloom_shards", round_id - 1)
 
     fetch_list = scheduling_round(
@@ -132,8 +154,7 @@ def run_round(
     ).localCheckpoint(eager=True)
 
     ok = fetch_list.where(fetch_success if fetch_success is not None else F.lit(True))
-    new_ids = ok.select("url_id").distinct()
-    new_seen = seen.unionByName(new_ids).distinct()
+    new_ids = ok.select("url_id")
     new_shard_df = bloom_ops.build_shards(new_ids, num_shards=num_shards)
     merged = (
         new_shard_df
@@ -146,15 +167,17 @@ def run_round(
     )
 
     store.write("fetch_list", round_id, fetch_list)
-    store.write("seen", round_id, new_seen)
+    store.write("seen_delta", round_id, new_ids)
     store.write("bloom_shards", round_id, merged)
     store.write("metrics", round_id, metrics)
+    delta_count = new_ids.count()
+    prev_total = store.round_info(round_id - 1).get("seen_total", 0)
     store.commit_round(
         round_id,
         {
             "round_id": round_id,
             "scheduled": fetch_list.count(),
-            "seen_total": new_seen.count(),
+            "seen_total": prev_total + delta_count,
         },
     )
     return fetch_list

@@ -61,7 +61,8 @@ def test_rounds_match_simulator(spark, setup):
         assert got == want, f"round {r}: {len(got)} vs {len(want)} fetches"
 
     spark_seen = {
-        row["url_id"] for row in store.read("seen", ROUNDS - 1).collect()
+        row["url_id"]
+        for row in store.read_all("seen_delta", ROUNDS - 1).collect()
     }
     assert spark_seen == sim_seen
 
@@ -78,8 +79,8 @@ def test_kill_and_resume(spark, setup):
     run_crawl(part, seeds_df, pol_df, rounds=ROUNDS, num_shards=8)
     for r in range(ROUNDS):
         assert _collect_round(part, r) == _collect_round(full, r), f"round {r}"
-    a = {x["url_id"] for x in part.read("seen", ROUNDS - 1).collect()}
-    b = {x["url_id"] for x in full.read("seen", ROUNDS - 1).collect()}
+    a = {x["url_id"] for x in part.read_all("seen_delta", ROUNDS - 1).collect()}
+    b = {x["url_id"] for x in full.read_all("seen_delta", ROUNDS - 1).collect()}
     assert a == b
 
 
