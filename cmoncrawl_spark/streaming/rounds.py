@@ -19,7 +19,10 @@ same crash-consistency the Iceberg snapshot would.
 
 Bloom shards are MERGED, not rebuilt: blobs with identical (m, k)
 OR together, so a round only hashes ITS new ids — O(round), not
-O(frontier history).
+O(frontier history). The seen set is likewise APPEND-ONLY (per-round
+delta dirs, read as a union): no state write grows with history. At
+round counts where many small delta files hurt scan planning, Iceberg
+owns compaction (rewrite_data_files) without changing this protocol.
 """
 
 from __future__ import annotations
