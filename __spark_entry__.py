@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_extract_page": q.q_extract_page,
         "q_route_match": q.q_route_match,
         "q_minhash_dedup": q.q_minhash_dedup,
+        "q_dedup_clusters": q.q_dedup_clusters,
         "q_bpe_token_count": q.q_bpe_token_count,
         "q_cache_key": q.q_cache_key,
         "q_lang_id": q.q_lang_id,

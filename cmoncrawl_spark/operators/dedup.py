@@ -270,6 +270,80 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected pair graph — the step
+    that turns near-dup PAIRS into dedup CLUSTERS (keep one per
+    component). Returns (id, component) with component = min id in the
+    component (deterministic labels).
+
+    Algorithm: min-label propagation — each node repeatedly adopts the
+    smallest label among itself and its neighbors; converges in
+    O(diameter) rounds (near-dup clusters are shallow: diameter is
+    tiny, so a handful of joins). Each iteration is one broadcast/
+    shuffle join + one groupBy; the driver only checks a changed-count
+    (the documented O(1) action per iteration). For graphs with huge
+    diameters, swap in the alternating large/small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce") — the
+    iteration harness stays the same.
+    """
+    edges = (
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("id", "v"), on="v"
+            )
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on="id", how="left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedupe_keep_min(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Survivors after clustering: the min-id doc of every near-dup
+    component plus all unpaired docs (the canonical keep-one policy of
+    training-data dedup pipelines)."""
+    comp = connected_components(pairs)
+    losers = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(losers, on=id_col, how="left_anti")
+
+
 def simhash(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -379,6 +379,36 @@ def oracles() -> dict[str, str]:
         WHERE jac >= 0.6
         """
     )
+    # clusters via recursive transitive closure over the SAME pair set
+    # q_minhash_dedup derives (its parity proves Spark's pairs equal).
+    o["q_dedup_clusters"] = (
+        "WITH RECURSIVE "
+        + _docs2_sized.strip().removeprefix("WITH").strip()
+        + """
+        , pairs AS (
+          SELECT a, b FROM (
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   len(list_intersect(a.sh, b.sh)) * 1.0 /
+                   (a.n + b.n - len(list_intersect(a.sh, b.sh))) AS jac
+            FROM sized a JOIN sized b
+              ON a.doc_id < b.doc_id
+             AND least(a.n, b.n) * 1.0 >= 0.6 * greatest(a.n, b.n)) t
+          WHERE jac >= 0.6
+        ),
+        edges AS (
+          SELECT a AS u, b AS v FROM pairs
+          UNION
+          SELECT b AS u, a AS v FROM pairs
+        ),
+        reach(src, dst) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+          UNION
+          SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+        )
+        SELECT src AS doc_id, min(dst) AS component
+        FROM reach GROUP BY src
+        """
+    )
     o["q_ngram_jaccard"] = (
         _docs2_sized
         + """

@@ -141,6 +141,23 @@ def q_minhash_dedup(spark, sf_dir):
     return minhash_dedup_pairs(_docs2(spark, sf_dir), threshold=0.6)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Pairs -> clusters: connected components (min-label propagation)
+    over the MinHash near-dup pairs; the DuckDB oracle computes the
+    same components with a recursive-CTE transitive closure."""
+    from cmoncrawl_spark.operators.dedup import (
+        connected_components,
+        minhash_dedup_pairs,
+    )
+
+    pairs = minhash_dedup_pairs(_docs2(spark, sf_dir), threshold=0.6).select(
+        "a", "b"
+    )
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
 def q_simhash(spark, sf_dir):
     """64-bit SimHash per doc, computed with the engine-portable token
     hash (md5_number_lower twin) so the DuckDB oracle reproduces the

@@ -176,3 +176,29 @@ def test_embedding_degenerate_bucket_cap(spark):
     rows = cosine_dup_pairs(df, max_bucket_size=50).collect()
     assert len(rows) == n - 1
     assert all(r["a"] == 0 for r in rows)
+
+
+def test_connected_components_chain_and_keep_min(spark):
+    from cmoncrawl_spark.operators.dedup import (
+        connected_components,
+        dedupe_keep_min,
+    )
+
+    # components: {1,2,3,4 chain}, {10,11}, isolated pairs via edges only
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "a long, b long",
+    )
+    comp = {
+        r["id"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                    20: 20, 21: 20, 22: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"text{i}") for i in [1, 2, 3, 4, 5, 10, 11, 20, 21, 22]],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in dedupe_keep_min(docs, pairs).collect()}
+    # one survivor per component + the unpaired doc 5
+    assert kept == {1, 5, 10, 20}
