@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rolling_fingerprint": q.q_rolling_fingerprint,
         "q_image_features": q.q_image_features,
         "q_audio_features": q.q_audio_features,
+        "q_curation_pipeline": q.q_curation_pipeline,
         "q_fixture_title": q.q_fixture_title,
         "q_config_extract": q.q_config_extract,
         "q_extract_valid": q.q_extract_valid,

@@ -288,6 +288,30 @@ def oracles() -> dict[str, str]:
         FROM packed
     """
     )
+    # curation pipeline: dedup (first per md5) + quality gates + lang
+    # allow-list. mean word len mirrors quality_signals' round(x, 4).
+    o["q_curation_pipeline"] = """
+        WITH dedup AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+            FROM documents) t
+          WHERE rn = 1
+        ),
+        sig AS (
+          SELECT doc_id, lang,
+            CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+            round(list_aggregate(list_transform(string_split(text, ' '),
+                  w -> length(w)), 'sum') * 1.0 /
+                  greatest(len(string_split(text, ' ')), 1), 4) AS mwl,
+            round(len(list_distinct(string_split(text, ' '))) * 1.0 /
+                  greatest(len(string_split(text, ' ')), 1), 4) AS dtr
+          FROM dedup
+        )
+        SELECT doc_id, n_tokens FROM sig
+        WHERE n_tokens >= 10 AND dtr >= 0.3
+          AND mwl BETWEEN 2.0 AND 12.0 AND lang IN ('en', 'de')
+    """
     o["q_cache_key"] = with_crawl_ctes(
         "SELECT url, sha256(warc_filename || '|' || "
         "CAST(warc_record_offset AS STRING) || '|' || "

@@ -445,6 +445,33 @@ def q_image_features(spark, sf_dir):
     )
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end training-data curation: exact dedup (keep first per
+    content hash) -> quality gates (Gopher-style thresholds over the
+    native signal columns) -> language allow-list. One declarative
+    plan; every stage is an operator used elsewhere."""
+    from cmoncrawl_spark.operators.textstats import quality_signals
+
+    load_tables(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    w = Window.partitionBy(F.md5("text")).orderBy(F.col("doc_id").asc())
+    deduped = (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    q = quality_signals(deduped)
+    return (
+        q.where(
+            (F.col("q_n_tokens") >= 10)
+            & (F.col("q_distinct_token_ratio") >= 0.3)
+            & (F.col("q_mean_word_len").between(2.0, 12.0))
+            & (F.col("lang").isin("en", "de"))
+        )
+        .select("doc_id", F.col("q_n_tokens").alias("n_tokens"))
+    )
+
+
 def q_audio_features(spark, sf_dir):
     """Audio plumbing twin of q_image_features: synthetic media ->
     Arrow-batched RMS/zero-cross features (decode stubbed; no oracle —
