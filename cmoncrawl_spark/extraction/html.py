@@ -165,11 +165,51 @@ def body_text(root: Node) -> str:
     return (b.text() if b is not None else root.text()).strip()
 
 
+import re as _re
+
+#: [attr], [attr=v], [attr="v"], [attr*=v], [attr^=v], [attr$=v], [attr~=v]
+_ATTR_RE = _re.compile(
+    r"\[\s*([a-zA-Z_:][-\w:.]*)\s*(?:([*^$~]?=)\s*"
+    r"(?:\"([^\"]*)\"|'([^']*)'|([^\]\s]*)))?\s*\]"
+)
+
+
+def _attr_match(node: Node, name: str, op: str | None, val: str | None) -> bool:
+    if name not in node.attrs:
+        return False
+    if op is None:
+        return True
+    actual = node.attrs.get(name, "")
+    assert val is not None
+    if op == "=":
+        return actual == val
+    if op == "*=":
+        return val in actual
+    if op == "^=":
+        return actual.startswith(val)
+    if op == "$=":
+        return actual.endswith(val)
+    if op == "~=":
+        return val in actual.split()
+    return False
+
+
 def _match_simple(node: Node, simple: str) -> bool:
+    # peel attribute predicates first: tag.cls#id[attr=v][attr2]
+    attrs: list[tuple[str, str | None, str | None]] = []
+
+    def _peel(m: _re.Match) -> str:
+        val = next((g for g in m.group(3, 4, 5) if g is not None), None)
+        attrs.append((m.group(1), m.group(2), val))
+        return ""
+
+    rest = _ATTR_RE.sub(_peel, simple)
+    for name, op, val in attrs:
+        if not _attr_match(node, name, op, val):
+            return False
     tag = ""
     ident = None
     cls = None
-    rest = simple
     if "#" in rest:
         tag, _, ident = rest.partition("#")
     elif "." in rest:
@@ -186,8 +226,12 @@ def _match_simple(node: Node, simple: str) -> bool:
 
 
 def select(root: Node, selector: str) -> list[Node]:
-    """Descendant-combinator CSS subset; enough for F9 filters."""
-    parts = selector.split()
+    """Descendant-combinator CSS subset (tag, #id, .class, attribute
+    predicates incl. =, *=, ^=, $=, ~=); enough for F9 filters and the
+    reference's PageExtractor selector configs (meta[property='og:url']
+    etc., reference extractor.py:208-349)."""
+    # whitespace splits combinators only OUTSIDE attribute brackets
+    parts = [p for p in _re.split(r"\s+(?![^\[\]]*\])", selector) if p]
     current = [root]
     for simple in parts:
         nxt: list[Node] = []

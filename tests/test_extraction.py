@@ -249,3 +249,37 @@ def test_allowed_domain_prefixes_both_paths(spark):
             b"<html><head><title>t</title></head></html>", PageMeta(url=u)
         )
         assert (res is not None) == (u in got)
+
+
+def test_css_attribute_selectors():
+    from cmoncrawl_spark.extraction import html as H
+
+    doc = H.parse(
+        '<html><head>'
+        '<meta property="og:url" content="https://x.com/">'
+        '<meta name="viewport" content="width=device-width">'
+        '<link rel="home" href="/h">'
+        '<link title="My RSS feed" href="/rss">'
+        '</head><body>'
+        '<div class="a b" data-k="v1 v2">hit</div>'
+        '<div class="a">miss</div>'
+        '</body></html>'
+    )
+    sel = lambda s: H.select(doc, s)
+    assert len(sel("meta[property='og:url']")) == 1
+    assert sel("meta[property='og:url']")[0].attrs["content"] == "https://x.com/"
+    assert len(sel('meta[property="og:url"]')) == 1
+    assert len(sel("meta[property=og:url]")) == 1
+    assert len(sel("[property]")) == 1
+    assert len(sel("link[title*='RSS']")) == 1
+    assert len(sel("link[href^='/r']")) == 1
+    assert len(sel("link[href$='ss']")) == 1
+    assert len(sel("div[data-k~='v2']")) == 1
+    assert sel("div[data-k~='v2']")[0].text() == "hit"
+    assert len(sel("div.a[data-k]")) == 1
+    assert len(sel("meta[property='nope']")) == 0
+    # descendant combinator still works with brackets present
+    assert len(sel("head meta[property='og:url']")) == 1
+    # space INSIDE quoted attribute value doesn't split the selector
+    doc2 = H.parse('<i data-x="a b">t</i>')
+    assert len(H.select(doc2, "i[data-x='a b']")) == 1
