@@ -194,10 +194,18 @@ class PageTextExtractor(SparkExtractor):
 
 @dataclass
 class CssField:
-    """Declarative field spec for ConfigExtractor (U2 analog)."""
+    """Declarative field spec for ConfigExtractor (U2 analog).
+
+    scope: optional selector resolved FIRST (first hit becomes the
+    search root) — the reference's head/article scoping
+    (extractor.py:326-343 selects within soup.select_one('head') and
+    within article_css_selector). transform: applied to the extracted
+    value, None-propagating (utils.py:120-167 chain semantics)."""
 
     selector: str
     attr: str | None = None  # None -> text content
+    scope: str | None = None  # e.g. "head", or an article selector
+    transform: Callable[[Any], Any] | None = None
 
 
 class ConfigExtractor(SparkExtractor):
@@ -254,16 +262,34 @@ class ConfigExtractor(SparkExtractor):
                 return False
         return True
 
+    def _extract_field(self, dom: H.Node, spec: CssField) -> Any:
+        root = dom
+        if spec.scope:
+            scoped = H.select(dom, spec.scope)
+            if not scoped:
+                return None
+            root = scoped[0]
+        hits = H.select(root, spec.selector)
+        if not hits:
+            return None
+        val = hits[0].attrs.get(spec.attr) if spec.attr else hits[0].text()
+        if val is not None and spec.transform is not None:
+            val = spec.transform(val)
+        return val
+
     def extract_dom(self, dom: H.Node, meta: PageMeta) -> dict | None:
         out: dict[str, Any] = {}
         for name, spec in self.fields.items():
-            hits = H.select(dom, spec.selector)
-            if not hits:
-                out[name] = None
-            elif spec.attr:
-                out[name] = hits[0].attrs.get(spec.attr)
-            else:
-                out[name] = hits[0].text()
+            # a LIST of specs = the reference's combine_dicts merge:
+            # first non-None wins (head > article > custom,
+            # utils.py:201-220 via extractor.py:326-343).
+            specs = spec if isinstance(spec, list) else [spec]
+            val = None
+            for s in specs:
+                val = self._extract_field(dom, s)
+                if val is not None:
+                    break
+            out[name] = val
         if self.is_valid_extraction is not None and not self.is_valid_extraction(
             out
         ):

@@ -283,3 +283,46 @@ def test_css_attribute_selectors():
     # space INSIDE quoted attribute value doesn't split the selector
     doc2 = H.parse('<i data-x="a b">t</i>')
     assert len(H.select(doc2, "i[data-x='a b']")) == 1
+
+
+def test_config_extractor_scoped_fields_and_merge(spark):
+    """PageExtractor parity: head-scoped og:title preferred, article
+    h1 fallback (combine_dicts first-non-None), transforms applied."""
+    from cmoncrawl_spark.extraction.extractor import (
+        ConfigExtractor,
+        CssField,
+        PageMeta,
+    )
+
+    ex = ConfigExtractor(
+        fields={
+            "title": [
+                CssField(
+                    "meta[property='og:title']", attr="content", scope="head"
+                ),
+                CssField("h1", scope="div.article"),
+            ],
+            "body": CssField(
+                "p", scope="div.article", transform=lambda s: s.strip().upper()
+            ),
+        },
+        must_exist=["div.article"],
+    )
+    with_og = (
+        b"<html><head><meta property='og:title' content='OG Title'></head>"
+        b"<body><div class='article'><h1>H1 Title</h1><p> text </p></div>"
+        b"</body></html>"
+    )
+    res = ex.extract_one(with_og, PageMeta(record_encoding="UTF-8"))
+    assert res == {"title": "OG Title", "body": "TEXT"}
+
+    no_og = (
+        b"<html><head></head><body><div class='article'>"
+        b"<h1>H1 Title</h1><p>x</p></div></body></html>"
+    )
+    res2 = ex.extract_one(no_og, PageMeta(record_encoding="UTF-8"))
+    assert res2["title"] == "H1 Title"
+
+    # must_exist drops pages without the article scope
+    bare = b"<html><body><p>x</p></body></html>"
+    assert ex.extract_one(bare, PageMeta(record_encoding="UTF-8")) is None
