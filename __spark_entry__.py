@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_hourly": q.q_events_hourly,
         "q_extract_page": q.q_extract_page,
         "q_route_match": q.q_route_match,
+        "q_warc_roundtrip": q.q_warc_roundtrip,
         "q_minhash_dedup": q.q_minhash_dedup,
         "q_dedup_clusters": q.q_dedup_clusters,
         "q_bpe_token_count": q.q_bpe_token_count,

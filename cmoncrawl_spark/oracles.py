@@ -353,6 +353,11 @@ def oracles() -> dict[str, str]:
         "      WHEN 'fr' THEN 'ISO-8859-1' ELSE 'UTF-8' END) END AS encoding "
         "FROM documents"
     )
+    o["q_warc_roundtrip"] = with_crawl_ctes(
+        "SELECT doc_id, url, 'response' AS rec_type, "
+        "CAST(octet_length(encode(text)) AS BIGINT) AS content_len, "
+        "'200' AS status FROM pages"
+    )
     o["q_route_match"] = with_crawl_ctes(
         r"""
         SELECT url, warc_ts,

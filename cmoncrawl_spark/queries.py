@@ -532,6 +532,63 @@ def q_extract_page(spark, sf_dir):
     return out.select("doc_id", "title", "body_text", "encoding")
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """S5/S6 driver check: serialize each page to a WARC/1.0 record,
+    gzip it, parse it back with the engine's WARC reader — all inside
+    one Arrow stage. The oracle predicts the parsed fields (url,
+    rec_type, payload byte length, HTTP status) from the synthesis
+    components, so any parser drift (header split, Content-Length,
+    gzip path, http-header carve-out) breaks the hash."""
+    import gzip
+
+    import pandas as pd
+
+    from cmoncrawl_spark.sources.warc import (
+        parse_warc_bytes,
+        write_warc_bytes,
+    )
+
+    register_crawl_views(spark, sf_dir)
+    df = spark.table("pages").select("doc_id", "url", "text")
+    cols = ["doc_id", "url", "rec_type", "content_len", "status"]
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for did, url, text in zip(pdf["doc_id"], pdf["url"], pdf["text"]):
+                blob = gzip.compress(
+                    write_warc_bytes(
+                        [
+                            {
+                                "url": url,
+                                "content": text.encode("utf-8"),
+                                "http_header": {
+                                    "http_response_code": "200",
+                                    "Content-Type": "text/html",
+                                },
+                            }
+                        ]
+                    )
+                )
+                (rec,) = parse_warc_bytes(blob)
+                rows.append(
+                    (
+                        int(did),
+                        rec["url"],
+                        rec["rec_type"],
+                        len(rec["content"]),
+                        rec["http_header"]["http_response_code"],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(
+        run,
+        "doc_id long, url string, rec_type string, content_len long, "
+        "status string",
+    )
+
+
 def q_route_match(spark, sf_dir):
     """J1 first-match-wins routing as a generated CASE WHEN chain."""
     from cmoncrawl_spark.operators.routing import Route, route_records
