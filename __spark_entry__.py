@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q.q_sessionize,
         "q_ivf_topk": q.q_ivf_topk,
         "q_simhash": q.q_simhash,
+        "q_simhash_pairs": q.q_simhash_pairs,
         "q_ngram_jaccard": q.q_ngram_jaccard,
         "q_embed_dup_pairs": q.q_embed_dup_pairs,
         "q_cosine_topk": q.q_cosine_topk,

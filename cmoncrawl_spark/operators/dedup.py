@@ -401,15 +401,18 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     blocks: int = 4,
+    token_hash_fn=None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
     Pigeonhole blocking: split the 64-bit hash into ``blocks`` chunks;
     any pair within distance < blocks shares at least one exact chunk,
-    so the self-join keys on (block_idx, chunk) — no O(n^2).
+    so the self-join keys on (block_idx, chunk) — no O(n^2). For
+    max_hamming < blocks the result is EXACTLY the all-pairs answer
+    (recall 1 by pigeonhole) — which makes it oracle-able.
     """
     width = 64 // blocks
-    sh = simhash(docs, id_col, text_col)
+    sh = simhash(docs, id_col, text_col, token_hash_fn=token_hash_fn)
     mask = (1 << width) - 1
     block_structs = [
         F.struct(

@@ -256,9 +256,9 @@ def oracles() -> dict[str, str]:
     # tokens have bit p set than clear (ones*2 > n) — the exact numpy
     # bit-vote in operators/dedup.simhash. Weight 2^p is exact in
     # double for all p <= 63 (powers of two), so CAST(power()) is safe.
-    o["q_simhash"] = (
+    _simhash_ctes = (
         _docs2_cte
-        + f"""
+        + """
         , tok AS (
           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
           FROM docs2
@@ -280,12 +280,27 @@ def oracles() -> dict[str, str]:
                      THEN CAST(power(2, bit) AS HUGEINT)
                      ELSE CAST(0 AS HUGEINT) END) AS u
           FROM votes GROUP BY doc_id
+        ),
+        sh64 AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN u >= 9223372036854775808
+                      THEN u - 18446744073709551616 ELSE u END AS BIGINT)
+                   AS simhash64
+          FROM packed
         )
-        SELECT doc_id,
-               CAST(CASE WHEN u >= 9223372036854775808
-                    THEN u - 18446744073709551616 ELSE u END AS BIGINT)
-                 AS simhash64
-        FROM packed
+    """
+    )
+    o["q_simhash"] = _simhash_ctes + "SELECT doc_id, simhash64 FROM sh64"
+    # pairs: O(n^2) hamming ground truth — Spark's pigeonhole blocking
+    # is EXACT for max_hamming < blocks, so the sets must be identical.
+    o["q_simhash_pairs"] = (
+        _simhash_ctes
+        + """
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               CAST(bit_count(xor(a.simhash64, b.simhash64)) AS INT)
+                 AS hamming
+        FROM sh64 a JOIN sh64 b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 3
     """
     )
     # curation pipeline: dedup (first per md5) + quality gates + lang

@@ -169,6 +169,21 @@ def q_simhash(spark, sf_dir):
     return simhash(_docs2(spark, sf_dir), token_hash_fn=portable_hash64)
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (hamming <= 3 via 4-block pigeonhole —
+    EXACT by pigeonhole, so the O(n^2) DuckDB hamming oracle must
+    match bit-for-bit; portable token hash)."""
+    from cmoncrawl_spark.functions.scalars import portable_hash64
+    from cmoncrawl_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(
+        _docs2(spark, sf_dir),
+        max_hamming=3,
+        blocks=4,
+        token_hash_fn=portable_hash64,
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard of each (doc, mutated-doc) pair."""
     from cmoncrawl_spark.operators.dedup import ngram_jaccard_pairs
