@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_frontier_round": q.q_frontier_round,
         "q_frontier_round_exact": q.q_frontier_round_exact,
         "q_politeness_budgets": q.q_politeness_budgets,
+        "q_fetch_schedule": q.q_fetch_schedule,
         "q_robots_policies": q.q_robots_policies,
         "q_opic_round": q.q_opic_round,
         "q_robots_allowed": q.q_robots_allowed,

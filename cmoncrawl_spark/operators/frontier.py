@@ -152,6 +152,22 @@ def scheduling_round(
     return out
 
 
+def fetch_schedule(
+    fetch_list: DataFrame, host_policies: DataFrame
+) -> DataFrame:
+    """Turn per-host fetch ranks into concrete crawl-delay-spaced fetch
+    offsets: the k-th fetch of a host starts (k-1) * crawl_delay_s
+    seconds into the round — the per-host politeness contract made
+    explicit (north_rule 'enforcing crawl-delay'). Broadcast join +
+    one multiplication; integer milliseconds for hash-stable output."""
+    pol = F.broadcast(host_policies.select("host", "crawl_delay_s"))
+    return fetch_list.join(pol, on="host", how="inner").withColumn(
+        "fetch_offset_ms",
+        ((F.col("fetch_rank") - 1) * F.col("crawl_delay_s") * 1000)
+        .cast("long"),
+    )
+
+
 def opic_round(cash: DataFrame, links: DataFrame) -> DataFrame:
     """One OPIC cash-distribution round (Abiteboul/Preda/Cobena,
     "Adaptive On-Line Page Importance Computation", WWW'03) — the

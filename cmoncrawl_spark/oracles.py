@@ -119,6 +119,19 @@ def oracles() -> dict[str, str]:
         "SELECT md5(substr(text, 1, 40)) AS fp, min(doc_id) AS keep_id, "
         "count(*) AS dups FROM documents GROUP BY fp"
     )
+    o["q_fetch_schedule"] = with_crawl_ctes(
+        _FRONTIER_ROUND_SQL.replace(
+            "SELECT url, url_id, host, depth, priority, budget, fetch_rank",
+            "SELECT url_id, r.host AS host, fetch_rank, "
+            "CAST((fetch_rank - 1) * p2.crawl_delay_s * 1000 AS BIGINT) "
+            "AS fetch_offset_ms",
+        ).replace(
+            "FROM ranked WHERE fetch_rank <= budget",
+            "FROM ranked r JOIN host_policies p2 ON r.host = p2.host "
+            "WHERE fetch_rank <= r.budget",
+        ),
+        frontier=True,
+    )
     o["q_frontier_round"] = with_crawl_ctes(_FRONTIER_ROUND_SQL, frontier=True)
     o["q_frontier_round_exact"] = o["q_frontier_round"]
     # robots round-trip: the robots CTE text is synthesized FROM

@@ -349,6 +349,17 @@ def q_opic_round(spark, sf_dir):
     return opic_round(cash, links).select("dst_id", "cash_micro", "in_links")
 
 
+def q_fetch_schedule(spark, sf_dir):
+    """Crawl-delay enforcement made explicit: the round's fetch list
+    with per-host delay-spaced fetch offsets (rank k -> (k-1)*delay)."""
+    from cmoncrawl_spark.operators.frontier import fetch_schedule
+
+    fetch = q_frontier_round_exact(spark, sf_dir)
+    return fetch_schedule(fetch, spark.table("host_policies")).select(
+        "url_id", "host", "fetch_rank", "fetch_offset_ms"
+    )
+
+
 def q_politeness_budgets(spark, sf_dir):
     register_crawl_views(spark, sf_dir)
     return spark.table("host_policies").select(

@@ -105,3 +105,24 @@ def test_extraction_prefilter_applied_before_udf(spark):
     assert "MapInPandas" in plan
     before_udf = plan.split("MapInPandas", 1)[1]
     assert "Filter" in before_udf and "news" in before_udf, plan
+
+
+def test_ivf_list_partitioned_storage_prunes(spark, sf_dir, tmp_path):
+    """The IVF scale path: corpus stored partitionBy(list_id) means an
+    n_probe search READS only n_probe partitions — assert the partition
+    filter reaches the scan."""
+    from cmoncrawl_spark.session import load_tables
+    from cmoncrawl_spark.operators.similarity import ivf_build
+
+    load_tables(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings")
+    assignments, cents = ivf_build(emb, n_lists=4, iters=1)
+    path = str(tmp_path / "ivf_pq")
+    emb.join(
+        assignments.withColumnRenamed("id", "vec_id"), "vec_id"
+    ).write.partitionBy("list_id").parquet(path)
+    probed = spark.read.parquet(path).where("list_id IN (0, 1)")
+    plan = _plan(probed)
+    assert "PartitionFilters" in plan and "list_id" in plan
+    part_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "list_id" in part_line
