@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_config_extract": q.q_config_extract,
         "q_extract_valid": q.q_extract_valid,
         "q_sessionize": q.q_sessionize,
+        "q_asof_join": q.q_asof_join,
         "q_ivf_topk": q.q_ivf_topk,
         "q_simhash": q.q_simhash,
         "q_simhash_pairs": q.q_simhash_pairs,

@@ -520,6 +520,25 @@ def oracles() -> dict[str, str]:
         "FROM pages WHERE doc_id % 101 <> 0 "
         "AND split_part(url_host_name, '.', 1) IN ('news', 'blog', 'www')"
     )
+    # native DuckDB ASOF JOIN ground truth; right side pre-deduped to
+    # one row per (user, ts) by max event_id so ties are deterministic
+    # on both engines (Spark's right_seq tiebreak does the same).
+    o["q_asof_join"] = """
+        WITH clicks AS (
+          SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click'
+        ),
+        purchases AS (
+          SELECT user_id, ts,
+                 max_by(CAST(round(value * 100) AS BIGINT), event_id)
+                   AS cents
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id, ts
+        )
+        SELECT c.event_id, c.user_id, p.cents AS cents_asof
+        FROM clicks c ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+    """
     o["q_sessionize"] = """
         SELECT event_id, user_id,
                CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)

@@ -736,6 +736,34 @@ def q_extract_valid(spark, sf_dir):
     ).select("doc_id", "headline")
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join: every click event picks up the value of the user's
+    most recent prior-or-equal purchase (greatest purchase.ts <=
+    click.ts; ties at equal ts -> max event_id). One shuffle, no range
+    join (operators/asof.py); DuckDB's native ASOF JOIN is the oracle.
+    Integer cents keep the hash stable."""
+    from cmoncrawl_spark.operators.asof import asof_join
+
+    load_tables(spark, sf_dir, ("events",))
+    ev = spark.table("events")
+    clicks = ev.where("event_type = 'click'").select("event_id", "user_id", "ts")
+    purchases = ev.where("event_type = 'purchase'").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.round(F.col("value") * 100)).cast("long").alias("cents"),
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        ts="ts",
+        value_cols=["cents"],
+        right_seq="event_id",
+    )
+    return out.select("event_id", "user_id", F.col("cents_asof"))
+
+
 def q_sessionize(spark, sf_dir):
     """Sessionization: new session when gap > 30 min per user (lag +
     cumulative sum windows)."""

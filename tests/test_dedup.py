@@ -202,3 +202,38 @@ def test_connected_components_chain_and_keep_min(spark):
     kept = {r["doc_id"] for r in dedupe_keep_min(docs, pairs).collect()}
     # one survivor per component + the unpaired doc 5
     assert kept == {1, 5, 10, 20}
+
+
+def test_asof_join_edge_cases(spark):
+    """<= semantics, equal-ts match, tie on right seq, no-match null."""
+    from datetime import datetime
+
+    from cmoncrawl_spark.operators.asof import asof_join
+
+    T = lambda s: datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [
+            (1, 7, T("2023-01-01 10:00:00")),   # equal-ts right matches (<=)
+            (2, 7, T("2023-01-01 11:00:00")),   # later right ignored
+            (3, 8, T("2023-01-01 09:00:00")),   # before any right -> null
+            (4, 9, T("2023-01-01 12:00:00")),   # user with no rights -> null
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (7, T("2023-01-01 10:00:00"), 100, 5),
+            (7, T("2023-01-01 10:00:00"), 200, 6),  # same ts: max seq wins
+            (7, T("2023-01-01 11:30:00"), 999, 7),
+            (8, T("2023-01-01 09:30:00"), 50, 8),
+        ],
+        "user_id long, ts timestamp, cents long, seq long",
+    )
+    out = {
+        r["event_id"]: r["cents_asof"]
+        for r in asof_join(
+            left, right, key="user_id", ts="ts",
+            value_cols=["cents"], right_seq="seq",
+        ).collect()
+    }
+    assert out == {1: 200, 2: 200, 3: None, 4: None}
