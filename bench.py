@@ -34,6 +34,10 @@ HEADLINE = [
     "q_cosine_topk",
     "q_embed_dup_pairs",
     "q_events_hourly",
+    "q_curation_pipeline",
+    "q_asof_join",
+    "q_dedup_clusters",
+    "q_robots_allowed",
 ]
 
 
