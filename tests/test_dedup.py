@@ -237,3 +237,20 @@ def test_asof_join_edge_cases(spark):
         ).collect()
     }
     assert out == {1: 200, 2: 200, 3: None, 4: None}
+
+
+def test_connected_components_deterministic_under_repartition(spark):
+    from cmoncrawl_spark.operators.dedup import connected_components
+
+    import random
+
+    rnd = random.Random(3)
+    pairs = [(rnd.randrange(200), rnd.randrange(200)) for _ in range(150)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    r1 = {(r["id"], r["component"]) for r in connected_components(df).collect()}
+    r2 = {
+        (r["id"], r["component"])
+        for r in connected_components(df.repartition(13)).collect()
+    }
+    assert r1 == r2 and r1

@@ -126,3 +126,18 @@ def test_ivf_list_partitioned_storage_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "list_id" in plan
     part_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
     assert "list_id" in part_line
+
+
+def test_index_limit_is_take_ordered(spark, sf_dir):
+    """L1/L2: deterministic-order limit compiles to
+    TakeOrderedAndProject (per-partition heaps), not a global sort."""
+    from cmoncrawl_spark.operators.ccindex import MatchType, index_query
+
+    register_crawl_views(spark, sf_dir)
+    plan = _plan(
+        index_query(
+            spark.table("ccindex"), ["hot-domain.com"], MatchType.DOMAIN,
+            limit=10,
+        )
+    )
+    assert "TakeOrderedAndProject" in plan, plan
