@@ -590,6 +590,55 @@ def oracles() -> dict[str, str]:
           FROM cand) t
         WHERE rank <= 10
     """
+    # IVF search oracle: seeded centroids as literals; assignment =
+    # argmin of the same in-order squared-distance fold (ties -> lowest
+    # index, matching Spark's array_min(struct(d, i))); probe = 2
+    # nearest lists to the query; exact cosine rerank.
+    from cmoncrawl_spark.queries import IVF_LISTS, IVF_SEED
+
+    _cents = hyperplanes(64, IVF_LISTS, IVF_SEED)
+
+    def _sqdist(vec_expr: str, c: list[float]) -> str:
+        return (
+            f"list_aggregate(list_transform({vec_expr}, (x, i) -> "
+            f"(x - {_arr(c)}[i]) * (x - {_arr(c)}[i])), 'sum')"
+        )
+
+    _dcols = ", ".join(
+        f"{_sqdist('v', c)} AS d{k}" for k, c in enumerate(_cents)
+    )
+    _case = "CASE " + " ".join(
+        f"WHEN {' AND '.join(f'd{k} <= d{j}' for j in range(IVF_LISTS) if j != k)} THEN {k}"
+        for k in range(IVF_LISTS - 1)
+    ) + f" ELSE {IVF_LISTS - 1} END"
+    _qd = " UNION ALL ".join(
+        f"SELECT {k} AS k, {_sqdist('qv', c)} AS dq FROM q"
+        for k, c in enumerate(_cents)
+    )
+    o["q_ivf_topk"] = f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        assigned AS (
+          SELECT vec_id, v, {_case} AS list_id
+          FROM (SELECT vec_id, v, {_dcols} FROM e) t
+        ),
+        probe AS (SELECT k FROM ({_qd}) qd ORDER BY dq, k LIMIT 2),
+        cand AS (
+          SELECT a.vec_id,
+                 list_dot_product(a.v, q.qv) /
+                 (sqrt(list_dot_product(a.v, a.v)) *
+                  sqrt(list_dot_product(q.qv, q.qv))) AS sim
+          FROM assigned a JOIN probe p ON a.list_id = p.k, q
+        )
+        SELECT vec_id, rank FROM (
+          SELECT vec_id,
+                 CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC)
+                      AS INT) AS rank
+          FROM cand) t
+        WHERE rank <= 10
+    """
     o["q_cosine_topk"] = """
         WITH q AS (
           SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings

@@ -790,15 +790,24 @@ def q_sessionize(spark, sf_dir):
 # ------------------------------------------------------------- similarity
 
 
+IVF_LISTS = 8
+IVF_SEED = 11
+
+
 def q_ivf_topk(spark, sf_dir):
-    """IVF ANN: k-means lists + n_probe search (no oracle: iterative
-    float averaging isn't portably reproducible in SQL; pytest pins
-    self-retrieval and determinism)."""
+    """IVF ANN search path, fully oracle-checked: assignments from the
+    SEEDED centroids (iters=0 — deterministic literals both engines
+    share), n_probe=2 list pruning, exact cosine rerank. The Lloyd
+    TRAINING iterations stay pytest-pinned (tests/test_ivf.py):
+    cross-engine float averaging isn't portably reproducible, but the
+    search operator — the scale-critical part — is."""
     from cmoncrawl_spark.operators.similarity import ivf_build, ivf_topk
 
     load_tables(spark, sf_dir, ("embeddings",))
     emb = spark.table("embeddings")
-    assignments, cents = ivf_build(emb, n_lists=8, iters=2)
+    assignments, cents = ivf_build(
+        emb, n_lists=IVF_LISTS, iters=0, seed=IVF_SEED
+    )
     qv = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
     return ivf_topk(emb, qv, cents, assignments, k=10, n_probe=2).select(
         "vec_id", "rank"
