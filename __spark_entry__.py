@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unify_url_id": q.q_unify_url_id,
         "q_url_seen_dedup": q.q_url_seen_dedup,
         "q_exact_dedup_docs": q.q_exact_dedup_docs,
+        "q_dedup_keep_longest": q.q_dedup_keep_longest,
         "q_frontier_round": q.q_frontier_round,
         "q_frontier_round_exact": q.q_frontier_round_exact,
         "q_politeness_budgets": q.q_politeness_budgets,

@@ -132,6 +132,15 @@ def oracles() -> dict[str, str]:
         ),
         frontier=True,
     )
+    o["q_dedup_keep_longest"] = """
+        SELECT fp, doc_id AS keep_id, n_chars FROM (
+          SELECT md5(substr(text, 1, 40)) AS fp, doc_id, n_chars,
+                 row_number() OVER (
+                   PARTITION BY md5(substr(text, 1, 40))
+                   ORDER BY n_chars DESC, doc_id ASC) AS rn
+          FROM documents) t
+        WHERE rn = 1
+    """
     o["q_frontier_round"] = with_crawl_ctes(_FRONTIER_ROUND_SQL, frontier=True)
     o["q_frontier_round_exact"] = o["q_frontier_round"]
     # robots round-trip: the robots CTE text is synthesized FROM

@@ -117,6 +117,27 @@ def q_exact_dedup_docs(spark, sf_dir):
     )
 
 
+def q_dedup_keep_longest(spark, sf_dir):
+    """Exact-dup keep-policy variant: within each content-fingerprint
+    group keep the LONGEST document (ties -> min doc_id) — the policy
+    quality-over-recency pipelines use, vs q_exact_dedup_docs'
+    keep-first."""
+    load_tables(spark, sf_dir, ("documents",))
+    w = Window.partitionBy(F.md5(F.substring("text", 1, 40))).orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        spark.table("documents")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.md5(F.substring("text", 1, 40)).alias("fp"),
+            F.col("doc_id").alias("keep_id"),
+            "n_chars",
+        )
+    )
+
+
 _DOCS2_SPARK = """
 SELECT doc_id, text FROM documents
 UNION ALL
