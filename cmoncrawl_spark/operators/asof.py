@@ -37,12 +37,17 @@ def asof_join(
     left:  key, ts, ... (all columns preserved)
     right: key, ts, value_cols (+ optional right_seq tie-breaker —
            among right rows sharing (key, ts), the max seq wins)
+
+    Without ``right_seq`` the tie-break defaults to xxhash64 of the
+    value columns — a pure function of row CONTENT, so repeated runs
+    agree at any partition layout (the repo's total-order doctrine;
+    ``monotonically_increasing_id`` would be layout-dependent).
     """
     lcols = left.columns
     seq = (
         F.col(right_seq)
         if right_seq is not None
-        else F.monotonically_increasing_id()
+        else F.xxhash64(*[F.col(c) for c in value_cols])
     )
     r = right.select(
         F.col(key),

@@ -115,11 +115,16 @@ def _bounded_bucket_pairs(
     quadratic there).
 
     Buckets of size <= max_bucket_size: full within-bucket pairs (the
-    exact LSH contract). Oversized buckets: STAR expansion — every
-    member pairs with the bucket's min id only, O(m) instead of O(m^2).
-    For dedup the star preserves what matters (cluster connectivity —
-    connected components / keep-min are unchanged); only exhaustive
-    pair ENUMERATION inside a degenerate bucket is truncated, and that
+    exact LSH contract). Oversized buckets: STAR + CHAIN expansion —
+    every member pairs with the bucket's min id (star: diameter-2
+    candidate graph) AND with its successor in id order (chain:
+    connectivity insurance), 2(m-1) edges instead of O(m^2). The chain
+    matters because downstream exact verification filters edges: if the
+    hub happens to fail the similarity threshold against members (an
+    outlier that banded into the bucket), the star alone would
+    disconnect true near-dup pairs, while the chain keeps any run of
+    mutually-similar members connected. Only exhaustive pair
+    ENUMERATION inside a degenerate bucket is truncated, and that
     truncation is logged (no silent caps). Input: keyed(id, *bucket_cols).
     """
     import logging
@@ -130,8 +135,11 @@ def _bounded_bucket_pairs(
     # shuffles on — no extra aggregation+join pair; Spark reuses one
     # exchange for the window and the (identical-plan) join sides.
     w = Window.partitionBy(*bucket_cols)
-    tagged = keyed.withColumn("_bsz", F.count("*").over(w)).withColumn(
-        "_hub", F.min("id").over(w)
+    w_ord = w.orderBy(F.col("id").asc())
+    tagged = (
+        keyed.withColumn("_bsz", F.count("*").over(w))
+        .withColumn("_hub", F.min("id").over(w))
+        .withColumn("_prev", F.lag("id").over(w_ord))
     )
     normal = tagged.where(F.col("_bsz") <= max_bucket_size)
     big = tagged.where(F.col("_bsz") > max_bucket_size)
@@ -159,7 +167,10 @@ def _bounded_bucket_pairs(
     star = big.where(F.col("id") != F.col("_hub")).select(
         F.col("_hub").alias("a"), F.col("id").alias("b")
     )
-    return full.unionByName(star).distinct()
+    chain = big.where(
+        F.col("_prev").isNotNull() & (F.col("_prev") != F.col("_hub"))
+    ).select(F.col("_prev").alias("a"), F.col("id").alias("b"))
+    return full.unionByName(star).unionByName(chain).distinct()
 
 
 def lsh_candidate_pairs(
@@ -227,7 +238,14 @@ def minhash_dedup_pairs(
     Output (a, b, jac) — with bands/rows generous for the threshold,
     recall is deterministic-complete on well-separated corpora, and
     the exact verify removes every false candidate, so the result
-    equals the O(n^2) oracle.
+    equals the O(n^2) oracle — PROVIDED every LSH bucket stays within
+    ``max_bucket_size``. When a degenerate bucket exceeds the cap,
+    its pair enumeration is truncated to the star+chain expansion
+    (see :func:`_bounded_bucket_pairs`): cluster-level results
+    (connected components, keep-min dedup) are preserved for
+    mutually-similar members, but the full within-bucket pair LIST is
+    not exhaustive, so the O(n^2)-equality claim no longer applies to
+    those buckets (truncation is logged).
     """
     cand = lsh_candidate_pairs(
         docs, id_col, text_col, k, num_perm, bands, max_bucket_size
@@ -273,21 +291,34 @@ def ngram_jaccard_pairs(
 def connected_components(
     pairs: DataFrame,
     max_iters: int = 50,
+    check_every: int = 3,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair graph — the step
     that turns near-dup PAIRS into dedup CLUSTERS (keep one per
     component). Returns (id, component) with component = min id in the
     component (deterministic labels).
 
-    Algorithm: min-label propagation — each node repeatedly adopts the
-    smallest label among itself and its neighbors; converges in
-    O(diameter) rounds (near-dup clusters are shallow: diameter is
-    tiny, so a handful of joins). Each iteration is one broadcast/
-    shuffle join + one groupBy; the driver only checks a changed-count
-    (the documented O(1) action per iteration). For graphs with huge
-    diameters, swap in the alternating large/small-star algorithm
-    (Kiveris et al., "Connected Components in MapReduce") — the
-    iteration harness stays the same.
+    Algorithm: min-label propagation + pointer jumping. Each iteration
+    (a) every node adopts the smallest label among itself and its
+    neighbors (one join + one groupBy on the edge key), then (b) every
+    node adopts its LABEL's label (one self-join on the label key —
+    Shiloach-Vishkin shortcutting). Label distance roughly doubles per
+    round, so convergence is O(log diameter) joins, not O(diameter):
+    a 10^2-long chain (the star+chain expansion of a degenerate LSH
+    bucket produces exactly these) settles in ~7 rounds instead of
+    ~100. Labels only decrease and only within a component, so the
+    fixpoint is the component-min labeling — same answer as plain
+    propagation, deterministic at any partitioning. The convergence
+    check (a changed-count job) runs only every ``check_every``
+    iterations, so the steady state is ~1 action per join round
+    instead of 2.
+
+    Non-convergence is an ERROR, not a silent wrong answer: if labels
+    are still changing after ``max_iters`` (diameter > max_iters), the
+    function raises rather than hand unconverged components to
+    keep-min dedup. Pass ``stats={}`` to receive
+    {"iterations": n, "converged": bool} for testing/metrics.
     """
     edges = (
         pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
@@ -301,33 +332,57 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(
-                labels.withColumnRenamed("id", "v"), on="v"
+    iters = 0
+    converged = False
+    while iters < max_iters and not converged:
+        prev = labels
+        for _ in range(min(check_every, max_iters - iters)):
+            neighbor_min = (
+                edges.join(
+                    labels.withColumnRenamed("id", "v"), on="v"
+                )
+                .groupBy(F.col("u").alias("id"))
+                .agg(F.min("component").alias("nbr_min"))
             )
-            .groupBy(F.col("u").alias("id"))
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, on="id", how="left")
-            .select(
+            hooked = labels.join(neighbor_min, on="id", how="left").select(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce("nbr_min", "component")
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
-        )
+            # pointer jump: component values are always node ids, so
+            # every label row finds its label's (smaller-or-equal,
+            # same-component) label in one self-join.
+            grand = hooked.select(
+                F.col("id").alias("component"),
+                F.col("component").alias("_grand"),
+            )
+            labels = (
+                hooked.join(grand, on="component", how="left")
+                .select(
+                    "id",
+                    F.coalesce("_grand", "component").alias("component"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            iters += 1
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="id")
+            labels.alias("n")
+            .join(prev.alias("o"), on="id")
             .where(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels = new_labels
-        if changed == 0:
-            break
+        converged = changed == 0
+    if stats is not None:
+        stats["iterations"] = iters
+        stats["converged"] = converged
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            "iterations (graph diameter exceeds max_iters); refusing to "
+            "return unconverged labels — raise max_iters or use the "
+            "large/small-star variant"
+        )
     return labels
 
 

@@ -139,17 +139,52 @@ def test_degenerate_bucket_cap_bounded_and_connected(spark):
     )
     cand = lsh_candidate_pairs(df, max_bucket_size=50)
     n_cand = cand.count()
-    # star expansion: one hub pairing with n-1 members (per dedup of
-    # identical band buckets), NOT ~n^2/2
-    assert n_cand == n - 1, f"candidates {n_cand}, want {n - 1}"
+    # star + chain expansion: hub->member (n-1) plus consecutive-id
+    # chain (n-2, the hub->1 chain edge coincides with a star edge),
+    # NOT ~n^2/2
+    assert n_cand == 2 * n - 3, f"candidates {n_cand}, want {2 * n - 3}"
     pairs = minhash_dedup_pairs(df, threshold=0.9)
     rows = pairs.collect()
-    assert len(rows) == n - 1
+    assert len(rows) == 2 * n - 3
     # connectivity: keep-min over the pair graph dedups to ONE survivor
     members = {r["a"] for r in rows} | {r["b"] for r in rows}
     assert members == set(range(n))
-    assert all(r["a"] == 0 for r in rows)  # hub is the min id
+    star = [r for r in rows if r["a"] == 0]
+    assert len(star) == n - 1  # hub (min id) pairs with every member
     assert all(r["jac_milli"] == 1000 for r in rows)
+
+
+def test_degenerate_bucket_survives_hub_outlier(spark):
+    """The reason for the chain edges: an oversized bucket whose hub
+    (min id) fails exact verification against the members must still
+    come out as ONE connected near-dup cluster of the true members.
+
+    Construct it directly at the candidate level: bucket = {0 (outlier
+    text), 1..99 (identical text)}. Star-only expansion would leave
+    1..99 with NO surviving pairs after the Jaccard verify."""
+    from cmoncrawl_spark.operators.dedup import (
+        _bounded_bucket_pairs,
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    n = 100
+    rows = [(0, "completely different outlier content with unrelated words")]
+    rows += [
+        (i, "identical boilerplate page body repeated across the bucket")
+        for i in range(1, n)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    keyed = docs.selectExpr("doc_id AS id", "1 AS band", "1 AS bucket")
+    cand = _bounded_bucket_pairs(keyed, ["band", "bucket"], max_bucket_size=10)
+    verified = ngram_jaccard_pairs(docs, cand.select("a", "b")).where(
+        "jac_milli >= 900"
+    )
+    comp = connected_components(verified.select("a", "b"))
+    groups = {r["id"]: r["component"] for r in comp.collect()}
+    assert 0 not in groups  # outlier hub has no surviving edges
+    assert set(groups) == set(range(1, n))
+    assert len(set(groups.values())) == 1  # one cluster, not n-1 islands
 
 
 def test_bucket_cap_no_change_on_normal_corpus(spark, sf_dir):
@@ -174,8 +209,8 @@ def test_embedding_degenerate_bucket_cap(spark):
         [(i, vec) for i in range(n)], "vec_id long, embedding array<float>"
     )
     rows = cosine_dup_pairs(df, max_bucket_size=50).collect()
-    assert len(rows) == n - 1
-    assert all(r["a"] == 0 for r in rows)
+    assert len(rows) == 2 * n - 3  # star (n-1) + chain (n-2)
+    assert sum(1 for r in rows if r["a"] == 0) == n - 1
 
 
 def test_connected_components_chain_and_keep_min(spark):
@@ -237,6 +272,71 @@ def test_asof_join_edge_cases(spark):
         ).collect()
     }
     assert out == {1: 200, 2: 200, 3: None, 4: None}
+
+
+def test_connected_components_path_graph_iterations_and_raise(spark):
+    """Path graph 0-1-2-...-11 (diameter 11): min-label propagation
+    must converge in <= diameter iterations + one confirmation block,
+    and REFUSE to return unconverged labels when max_iters is too
+    small (silent wrong components would corrupt keep-min dedup)."""
+    import pytest
+
+    from cmoncrawl_spark.operators.dedup import connected_components
+
+    n = 12
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    stats: dict = {}
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(path, stats=stats).collect()
+    }
+    assert comp == {i: 0 for i in range(n)}
+    assert stats["converged"]
+    # label 0 reaches node n-1 in n-1 propagation steps; the batched
+    # convergence check detects it at most two check_every blocks
+    # later (the block containing the last change still reports
+    # changed > 0, the next all-quiet block confirms).
+    assert stats["iterations"] <= (n - 1) + 2 * 3
+
+    # with pointer jumping a 12-path converges in ~3 rounds, so force
+    # non-convergence with a 1-iteration budget
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(path, max_iters=1)
+
+
+def test_asof_join_default_tiebreak_deterministic(spark):
+    """Without right_seq the tie-break is content-hash based: repeated
+    runs at different partition layouts must agree for equal-ts right
+    rows (the old monotonically_increasing_id fallback was
+    layout-dependent)."""
+    from datetime import datetime
+
+    from cmoncrawl_spark.operators.asof import asof_join
+
+    T = lambda s: datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [(1, 7, T("2023-01-01 10:00:00")), (2, 7, T("2023-01-01 12:00:00"))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(7, T("2023-01-01 10:00:00"), v) for v in (100, 200, 300, 400)],
+        "user_id long, ts timestamp, cents long",
+    )
+
+    def run(r):
+        return {
+            row["event_id"]: row["cents_asof"]
+            for row in asof_join(
+                left, r, key="user_id", ts="ts", value_cols=["cents"]
+            ).collect()
+        }
+
+    base = run(right)
+    assert base[1] is not None and base[1] == base[2]
+    for parts in (1, 3, 7):
+        assert run(right.repartition(parts)) == base
 
 
 def test_connected_components_deterministic_under_repartition(spark):
