@@ -94,23 +94,55 @@ class CrawlCatalog:
 
     # -- writes ------------------------------------------------------------
 
-    def append(self, name: str, df: DataFrame) -> int:
-        """Snapshot-append; returns the new snapshot id."""
+    def append(self, name: str, df: DataFrame, batch_id: int | None = None) -> int:
+        """Snapshot-append; returns the new snapshot id.
+
+        ``batch_id`` makes the append IDEMPOTENT: if any committed
+        snapshot already carries this batch id, the call is a no-op
+        returning that snapshot — the idempotence record and the data
+        commit are ONE atomic operation (the snapshot entry itself, via
+        _write_meta's os.replace / Iceberg's snapshot summary), so no
+        crash window exists between "data committed" and "batch marked"
+        (a separate marker file would reopen that window and make a
+        replayed streaming micro-batch double-append).
+        """
         if self.iceberg:
-            df.writeTo(self._ident(name)).append()
+            if batch_id is not None:
+                dup = self.spark.sql(
+                    f"SELECT snapshot_id FROM {self._ident(name)}.snapshots "
+                    f"WHERE summary['batch-id'] = '{int(batch_id)}'"
+                ).first()
+                if dup is not None:
+                    return int(dup[0])
+                df.writeTo(self._ident(name)).option(
+                    "snapshot-property.batch-id", str(int(batch_id))
+                ).append()
+            else:
+                df.writeTo(self._ident(name)).append()
             row = self.spark.sql(
                 f"SELECT max(snapshot_id) FROM {self._ident(name)}.snapshots"
             ).first()
             return int(row[0])
         meta = self._read_meta(name)
+        if batch_id is not None:
+            for s in meta["snapshots"]:
+                if s.get("batch_id") == batch_id:
+                    return s["id"]  # replay: already committed
         snap_id = len(meta["snapshots"])
         part_dir = os.path.join(self._dir(name), f"snap={snap_id}")
         writer = df.write.mode("overwrite")
         if meta["partitioned_by"]:
             writer = writer.partitionBy(*meta["partitioned_by"])
         writer.parquet(part_dir)
-        meta["snapshots"].append({"id": snap_id, "ts": time.time()})
-        self._write_meta(name, meta)  # data first, marker last
+        entry = {"id": snap_id, "ts": time.time()}
+        if batch_id is not None:
+            entry["batch_id"] = batch_id
+        # data files first, then ONE atomic meta replace commits both
+        # the snapshot and its batch-id record; an orphan data dir from
+        # a crash before this line is invisible to read() (which lists
+        # paths from meta) and safely overwritten on replay.
+        meta["snapshots"].append(entry)
+        self._write_meta(name, meta)
         return snap_id
 
     # -- reads -------------------------------------------------------------

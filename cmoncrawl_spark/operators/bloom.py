@@ -145,8 +145,14 @@ def probe(
     """Mark candidates with ``maybe_seen`` (bloom positive) per shard.
 
     Cogrouped Arrow UDF: each task gets one shard's candidates + that
-    shard's single blob row — the full filter is never broadcast and
+    shard's blob row(s) — the full filter is never broadcast and
     never collected (R5). Output = candidates + maybe_seen:boolean.
+
+    A shard may legitimately carry MULTIPLE blob rows:
+    merge_bloom_shards groups by (shard_id, m_bits, k_hashes), so
+    mixed-parameter histories keep one blob per parameterization.
+    Membership is the OR over every blob row — probing only the first
+    would produce silent false negatives (duplicate fetches).
     """
     out_schema = StructType(
         candidates.schema.fields + [StructField("maybe_seen", BooleanType())]
@@ -160,13 +166,16 @@ def probe(
             res = cand[cand_cols].copy()
             res["maybe_seen"] = False
             return res
-        bits = np.frombuffer(blob["bloom"].iloc[0], dtype=np.uint8)
-        m = int(blob["m_bits"].iloc[0])
-        k = int(blob["k_hashes"].iloc[0])
         h1 = cand["h1"].to_numpy().astype(np.uint64)
         h2 = cand["h2"].to_numpy().astype(np.uint64)
+        seen = np.zeros(len(cand), dtype=bool)
+        for _, row in blob.iterrows():
+            bits = np.frombuffer(row["bloom"], dtype=np.uint8)
+            m = int(row["m_bits"])
+            k = int(row["k_hashes"])
+            seen |= _test_bits(bits, _positions(h1, h2, k, m))
         res = cand[cand_cols].copy()
-        res["maybe_seen"] = _test_bits(bits, _positions(h1, h2, k, m))
+        res["maybe_seen"] = seen
         return res
 
     hashed = with_bloom_hashes(candidates, id_col).withColumn(

@@ -182,13 +182,19 @@ def probe_cuckoo(
         if blob.empty:
             res["maybe_seen"] = False
             return res
-        n_buckets = int(blob["n_buckets"].iloc[0])
-        table = np.frombuffer(blob["table"].iloc[0], dtype=np.uint16).reshape(
-            n_buckets, SLOTS
-        )
         h1 = cand["h1"].to_numpy().astype(np.uint64)
         h2 = cand["h2"].to_numpy().astype(np.uint64)
-        res["maybe_seen"] = _membership(table, n_buckets, h1, h2)
+        # a shard may carry multiple table rows (e.g. differently-sized
+        # tables merged across rounds): membership is the OR over all —
+        # probing only the first would silently drop seen ids.
+        seen = np.zeros(len(cand), dtype=bool)
+        for _, row in blob.iterrows():
+            n_buckets = int(row["n_buckets"])
+            table = np.frombuffer(row["table"], dtype=np.uint16).reshape(
+                n_buckets, SLOTS
+            )
+            seen |= _membership(table, n_buckets, h1, h2)
+        res["maybe_seen"] = seen
         return res
 
     hashed = with_bloom_hashes(candidates, id_col).withColumn(

@@ -153,19 +153,27 @@ def scheduling_round(
 
 
 def fetch_schedule(
-    fetch_list: DataFrame, host_policies: DataFrame
+    fetch_list: DataFrame,
+    host_policies: DataFrame,
+    default_delay: float = 1.0,
 ) -> DataFrame:
     """Turn per-host fetch ranks into concrete crawl-delay-spaced fetch
     offsets: the k-th fetch of a host starts (k-1) * crawl_delay_s
     seconds into the round — the per-host politeness contract made
     explicit (north_rule 'enforcing crawl-delay'). Broadcast join +
-    one multiplication; integer milliseconds for hash-stable output."""
+    one multiplication; integer milliseconds for hash-stable output.
+
+    LEFT join: a scheduled host with no policy row (e.g. no robots.txt
+    parsed — host_policies_from_robots only emits hosts it saw rules
+    for) is still fetched, at ``default_delay`` (the same default that
+    function uses); an inner join would silently DROP those URLs from
+    the schedule."""
     pol = F.broadcast(host_policies.select("host", "crawl_delay_s"))
-    return fetch_list.join(pol, on="host", how="inner").withColumn(
+    delay = F.coalesce(F.col("crawl_delay_s"), F.lit(default_delay))
+    return fetch_list.join(pol, on="host", how="left").withColumn(
         "fetch_offset_ms",
-        ((F.col("fetch_rank") - 1) * F.col("crawl_delay_s") * 1000)
-        .cast("long"),
-    )
+        ((F.col("fetch_rank") - 1) * delay * 1000).cast("long"),
+    ).withColumn("crawl_delay_s", delay)
 
 
 def opic_round(cash: DataFrame, links: DataFrame) -> DataFrame:

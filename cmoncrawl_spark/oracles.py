@@ -123,11 +123,11 @@ def oracles() -> dict[str, str]:
         _FRONTIER_ROUND_SQL.replace(
             "SELECT url, url_id, host, depth, priority, budget, fetch_rank",
             "SELECT url_id, r.host AS host, fetch_rank, "
-            "CAST((fetch_rank - 1) * p2.crawl_delay_s * 1000 AS BIGINT) "
-            "AS fetch_offset_ms",
+            "CAST((fetch_rank - 1) * COALESCE(p2.crawl_delay_s, 1.0) "
+            "* 1000 AS BIGINT) AS fetch_offset_ms",
         ).replace(
             "FROM ranked WHERE fetch_rank <= budget",
-            "FROM ranked r JOIN host_policies p2 ON r.host = p2.host "
+            "FROM ranked r LEFT JOIN host_policies p2 ON r.host = p2.host "
             "WHERE fetch_rank <= r.budget",
         ),
         frontier=True,

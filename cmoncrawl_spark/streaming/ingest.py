@@ -103,22 +103,14 @@ def run_ingest_to_catalog(
     """Production ingest sink: foreachBatch appends each micro-batch to
     a CrawlCatalog table, EXACTLY-ONCE via batch-id idempotence — a
     replayed micro-batch (restart between sink write and offset commit)
-    sees its marker and skips. With Iceberg the same guard is the
-    snapshot's committed batchId property; here it's a marker file next
-    to the snapshot dirs."""
-    import os as _os
-
+    finds its batch id already recorded and skips. The batch id lives
+    INSIDE the snapshot commit itself (CrawlCatalog.append's atomic
+    meta replace / Iceberg snapshot summary), so there is no crash
+    window between the data commit and the idempotence record."""
     catalog.create_table(table, "url string, ts timestamp, filename string")
-    marker_dir = _os.path.join(catalog.root, table, "_batches")
-    _os.makedirs(marker_dir, exist_ok=True)
 
     def _append(batch_df, batch_id: int) -> None:
-        marker = _os.path.join(marker_dir, f"batch_{batch_id}")
-        if _os.path.exists(marker):
-            return  # replayed micro-batch: already committed
-        catalog.append(table, batch_df)
-        with open(marker, "w") as f:
-            f.write("ok")
+        catalog.append(table, batch_df, batch_id=batch_id)
 
     records = stream_domain_records(spark, path)
     writer = records.writeStream.foreachBatch(_append)

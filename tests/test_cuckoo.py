@@ -54,6 +54,23 @@ def test_cuckoo_dedupe_equals_exact_antijoin(spark, sf_dir):
     assert with_cuckoo == exact
 
 
+def test_cuckoo_probe_multi_blob_shards(spark):
+    """Shards with multiple table rows per shard_id (e.g. different
+    n_buckets merged across rounds): membership = OR over all rows."""
+    a = [f"hosta.com/p{i}x" for i in range(150)]
+    b = [f"hostb.org/q{i}y" for i in range(150)]
+    a_df = spark.createDataFrame([(u,) for u in a], "url_id string")
+    b_df = spark.createDataFrame([(u,) for u in b], "url_id string")
+    shards = ck.build_cuckoo_shards(
+        a_df, num_shards=4, expected_per_shard=200
+    ).unionByName(
+        ck.build_cuckoo_shards(b_df, num_shards=4, expected_per_shard=1000)
+    )
+    both = a_df.unionByName(b_df)
+    pos = ck.probe_cuckoo(both, shards, num_shards=4).where("maybe_seen").count()
+    assert pos == len(a) + len(b)
+
+
 def test_cuckoo_delete_then_probe(spark):
     """Insert A ∪ B, delete B: A stays positive (no false negatives for
     retained items barring fp-collisions), B probes negative again."""

@@ -56,6 +56,65 @@ def test_bloom_dedupe_equals_exact_antijoin(spark, sf_dir):
     assert with_bloom == exact
 
 
+def test_fetch_schedule_keeps_unlisted_hosts(spark):
+    """Hosts with no policy row (no robots.txt parsed) must still be
+    scheduled, at the default crawl delay — not silently dropped."""
+    from cmoncrawl_spark.operators.frontier import fetch_schedule
+
+    fetch = spark.createDataFrame(
+        [("a.com/1", "a.com", 1), ("a.com/2", "a.com", 2), ("b.org/1", "b.org", 1)],
+        "url_id string, host string, fetch_rank int",
+    )
+    policies = spark.createDataFrame(
+        [("a.com", 2.0)], "host string, crawl_delay_s double"
+    )
+    rows = {
+        r["url_id"]: (r["fetch_offset_ms"], r["crawl_delay_s"])
+        for r in fetch_schedule(fetch, policies, default_delay=1.0).collect()
+    }
+    assert rows == {
+        "a.com/1": (0, 2.0),
+        "a.com/2": (2000, 2.0),
+        "b.org/1": (0, 1.0),  # unlisted host kept, default delay
+    }
+
+
+def test_bloom_probe_multi_blob_shards(spark, sf_dir):
+    """A shard may carry several blob rows (merge_bloom_shards keeps one
+    blob per (shard_id, m_bits, k_hashes) parameterization): membership
+    must be the OR over ALL blobs, not just the first row — a
+    first-row-only probe silently loses half the seen set."""
+    register_crawl_views(spark, sf_dir)
+    seen = _seen(spark).orderBy("url_id")
+    a = seen.limit(20)
+    b = seen.subtract(a)
+    # different expected_per_shard -> different (m_bits, k_hashes):
+    # merged shards legitimately hold two blob rows per shard_id
+    shards = bloom_ops.build_shards(
+        a, num_shards=4, expected_per_shard=500
+    ).unionByName(
+        bloom_ops.build_shards(b, num_shards=4, expected_per_shard=2000)
+    )
+    probed = bloom_ops.probe(seen, shards, num_shards=4)
+    n = probed.count()
+    pos = probed.where("maybe_seen").count()
+    assert n > 20 and pos == n  # ids from BOTH blobs probe positive
+
+    # exactness contract survives the mixed-parameter shard table
+    cand = canonicalize(_frontier(spark, sf_dir))
+    exact = set(
+        r["url"]
+        for r in cand.join(seen, "url_id", "left_anti").select("url").collect()
+    )
+    got = set(
+        r["url"]
+        for r in bloom_ops.dedupe_against_seen(cand, seen, shards, num_shards=4)
+        .select("url")
+        .collect()
+    )
+    assert got == exact
+
+
 def test_salted_topk_equals_plain_window(spark, sf_dir):
     cand = dedupe_intra_batch(canonicalize(_frontier(spark, sf_dir)))
     cand = cand.withColumn("budget", F.lit(5))

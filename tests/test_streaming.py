@@ -159,13 +159,23 @@ def test_ingest_to_catalog_exactly_once(spark, tmp_path):
     finally:
         q.stop()
 
-    # simulate a replayed micro-batch: calling the committed batch again
-    # must be a no-op (marker present)
-    import os
+    # the idempotence record lives INSIDE the committed snapshot entries
+    # (no separate marker file => no crash window between data commit
+    # and batch record)
+    meta = cat._read_meta("ingested_records")
+    committed_batches = [s.get("batch_id") for s in meta["snapshots"]]
+    assert len(committed_batches) >= 2
+    assert all(b is not None for b in committed_batches)
 
-    markers = os.listdir(os.path.join(cat.root, "ingested_records", "_batches"))
-    assert len(markers) >= 2
+    # replaying an already-committed batch id directly must be a no-op
     before = cat.read("ingested_records").count()
+    replay_df = spark.createDataFrame(
+        [("https://dup.com/1", None, "f")],
+        "url string, ts timestamp, filename string",
+    )
+    snap = cat.append("ingested_records", replay_df, batch_id=committed_batches[0])
+    assert snap == meta["snapshots"][0]["id"]
+    assert cat.read("ingested_records").count() == before
     # restart the stream from the same checkpoint: no duplicates
     q2 = run_ingest_to_catalog(
         spark, str(land), cat, checkpoint_dir=str(tmp_path / "ck")
