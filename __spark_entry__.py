@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters": q.q_dedup_clusters,
         "q_bpe_token_count": q.q_bpe_token_count,
         "q_cache_key": q.q_cache_key,
+        "q_registered_domain": q.q_registered_domain,
         "q_lang_id": q.q_lang_id,
         "q_rolling_fingerprint": q.q_rolling_fingerprint,
         "q_image_features": q.q_image_features,

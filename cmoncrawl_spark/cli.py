@@ -84,19 +84,46 @@ def import_extractor(extractors_path: str, name: str):
 
 
 def run_download(args: argparse.Namespace) -> None:
-    from cmoncrawl_spark.datagen import register_crawl_views
-    from cmoncrawl_spark.operators.ccindex import MatchType, index_query
-
     spark = _spark("cmon-download")
-    register_crawl_views(spark, args.table_dir)
-    recs = index_query(
-        spark.table("ccindex"),
-        args.urls,
-        MatchType(args.match_type),
-        since=datetime.fromisoformat(args.since) if args.since else None,
-        to=datetime.fromisoformat(args.to) if args.to else None,
-        limit=args.limit,
-    )
+    if args.cdx_server:
+        # live gateway path: the crawl need not exist as a table
+        # (reference gateway_query.py:142-241)
+        from cmoncrawl_spark.sources.gateway import cdx_records
+
+        live = cdx_records(
+            spark,
+            args.cdx_server,
+            args.urls,
+            match_type=args.match_type,
+            since=args.since.replace("-", "").replace(":", "").replace(
+                "T", ""
+            ).replace(" ", "") if args.since else None,
+            to=args.to.replace("-", "").replace(":", "").replace(
+                "T", ""
+            ).replace(" ", "") if args.to else None,
+        )
+        recs = live.select(
+            "url",
+            F.col("filename").alias("warc_filename"),
+            F.col("offset").alias("warc_record_offset"),
+            F.col("length").alias("warc_record_length"),
+            F.col("warc_ts").alias("fetch_time"),
+        )
+        if args.limit:
+            recs = recs.orderBy("url", "warc_record_offset").limit(args.limit)
+    else:
+        from cmoncrawl_spark.datagen import register_crawl_views
+        from cmoncrawl_spark.operators.ccindex import MatchType, index_query
+
+        register_crawl_views(spark, args.table_dir)
+        recs = index_query(
+            spark.table("ccindex"),
+            args.urls,
+            MatchType(args.match_type),
+            since=datetime.fromisoformat(args.since) if args.since else None,
+            to=datetime.fromisoformat(args.to) if args.to else None,
+            limit=args.limit,
+        )
     if args.mode == "record":
         # the reference's record output shape: one sorted-keys
         # {"domain_record": {...}} object per line.
@@ -237,6 +264,12 @@ def build_parser() -> argparse.ArgumentParser:
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
     )
     d.add_argument("--dao_base", default=None)
+    d.add_argument(
+        "--cdx_server",
+        default=None,
+        help="live CDX gateway endpoint (e.g. https://index.commoncrawl.org/"
+        "CC-MAIN-2023-14-index); bypasses --table_dir",
+    )
     d.set_defaults(func=run_download)
 
     e = sub.add_parser("extract", help="Extract fields from records/html")

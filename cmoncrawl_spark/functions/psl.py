@@ -1,0 +1,525 @@
+"""Public-Suffix-List registered domains (eTLD+1).
+
+Why the frontier needs this: politeness grouping, hot-domain salting
+and DOMAIN-match index queries (reference F1 semantics,
+/root/reference/cmoncrawl/aggregator/utils/athena_query_maker.py:10-33,
+which matches on the index's url_host_registered_domain column) must
+treat ``a.foo.co.uk`` and ``b.foo.co.uk`` as ONE domain (foo.co.uk) —
+a last-two-labels heuristic wrongly groups every ``*.co.uk`` site
+under ``co.uk``, merging thousands of distinct owners into one
+politeness bucket / one salting key.
+
+The snapshot below is a CURATED SUBSET of the public-knowledge rule
+set published at publicsuffix.org (same format: one rule per line,
+``*.`` wildcards, ``!`` exceptions, ``//`` comments). It covers the
+multi-label ccTLD registrations that dominate web-crawl traffic plus
+common private-section suffixes; the implicit PSL default rule ``*``
+(any unlisted TLD is a public suffix) handles everything else. A
+deployment swaps in the full publicsuffix.org snapshot — same format,
+same loader, zero code change.
+
+Scale design: the rule table is tiny (hundreds of rows; the full list
+is ~10k), so registered-domain derivation is K left BROADCAST hash
+joins (one per candidate suffix length) — all JVM-side, no shuffle,
+no UDF, whole-stage codegen. ``registered_domain_py`` is the plain-
+Python twin used for golden vectors and differential tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Curated subset of the publicsuffix.org rules (public knowledge; see
+# module docstring). Format identical to the published list.
+PSL_SNAPSHOT = """
+// ---- ICANN section (curated) ----
+// uk
+co.uk
+org.uk
+me.uk
+ltd.uk
+plc.uk
+net.uk
+sch.uk
+ac.uk
+gov.uk
+nhs.uk
+police.uk
+// au
+com.au
+net.au
+org.au
+edu.au
+gov.au
+asn.au
+id.au
+act.au
+nsw.au
+nt.au
+qld.au
+sa.au
+tas.au
+vic.au
+wa.au
+// nz
+ac.nz
+co.nz
+geek.nz
+gen.nz
+govt.nz
+health.nz
+iwi.nz
+kiwi.nz
+maori.nz
+mil.nz
+net.nz
+org.nz
+school.nz
+// jp
+ac.jp
+ad.jp
+co.jp
+ed.jp
+go.jp
+gr.jp
+lg.jp
+ne.jp
+or.jp
+*.kawasaki.jp
+*.kitakyushu.jp
+*.kobe.jp
+*.nagoya.jp
+*.sapporo.jp
+*.sendai.jp
+*.yokohama.jp
+!city.kawasaki.jp
+!city.kitakyushu.jp
+!city.kobe.jp
+!city.nagoya.jp
+!city.sapporo.jp
+!city.sendai.jp
+!city.yokohama.jp
+// br
+com.br
+net.br
+org.br
+gov.br
+edu.br
+art.br
+blog.br
+eco.br
+emp.br
+ind.br
+inf.br
+jus.br
+leg.br
+mil.br
+tv.br
+wiki.br
+// cn
+com.cn
+net.cn
+org.cn
+gov.cn
+edu.cn
+mil.cn
+ac.cn
+bj.cn
+sh.cn
+gd.cn
+zj.cn
+// in
+co.in
+net.in
+org.in
+firm.in
+gen.in
+ind.in
+nic.in
+ac.in
+edu.in
+res.in
+gov.in
+mil.in
+// za
+ac.za
+co.za
+edu.za
+gov.za
+law.za
+mil.za
+net.za
+nom.za
+org.za
+school.za
+web.za
+// mx
+com.mx
+net.mx
+org.mx
+edu.mx
+gob.mx
+// ar
+com.ar
+edu.ar
+gob.ar
+gov.ar
+int.ar
+mil.ar
+net.ar
+org.ar
+tur.ar
+// tr
+com.tr
+net.tr
+org.tr
+info.tr
+biz.tr
+av.tr
+bel.tr
+dr.tr
+edu.tr
+gen.tr
+gov.tr
+k12.tr
+name.tr
+pol.tr
+tel.tr
+tv.tr
+web.tr
+// sg
+com.sg
+net.sg
+org.sg
+gov.sg
+edu.sg
+per.sg
+// hk
+com.hk
+edu.hk
+gov.hk
+idv.hk
+net.hk
+org.hk
+// tw
+edu.tw
+gov.tw
+mil.tw
+com.tw
+net.tw
+org.tw
+idv.tw
+club.tw
+// kr
+co.kr
+ne.kr
+or.kr
+re.kr
+pe.kr
+go.kr
+mil.kr
+ac.kr
+hs.kr
+ms.kr
+es.kr
+sc.kr
+kg.kr
+seoul.kr
+busan.kr
+// il
+ac.il
+co.il
+gov.il
+idf.il
+k12.il
+muni.il
+net.il
+org.il
+// id
+ac.id
+biz.id
+co.id
+desa.id
+go.id
+mil.id
+my.id
+net.id
+or.id
+sch.id
+web.id
+// th
+ac.th
+co.th
+go.th
+in.th
+mi.th
+net.th
+or.th
+// my
+biz.my
+com.my
+edu.my
+gov.my
+mil.my
+name.my
+net.my
+org.my
+// ph
+com.ph
+net.ph
+org.ph
+gov.ph
+edu.ph
+ngo.ph
+mil.ph
+i.ph
+// vn
+com.vn
+net.vn
+org.vn
+edu.vn
+gov.vn
+int.vn
+ac.vn
+biz.vn
+info.vn
+name.vn
+pro.vn
+health.vn
+// ua
+com.ua
+edu.ua
+gov.ua
+in.ua
+net.ua
+org.ua
+kiev.ua
+lviv.ua
+// ru (second-level conventions)
+com.ru
+net.ru
+org.ru
+msk.ru
+spb.ru
+// pl
+com.pl
+net.pl
+org.pl
+biz.pl
+edu.pl
+gov.pl
+info.pl
+mail.pl
+mil.pl
+waw.pl
+warszawa.pl
+wroc.pl
+krakow.pl
+// eg
+com.eg
+edu.eg
+eun.eg
+gov.eg
+mil.eg
+name.eg
+net.eg
+org.eg
+sci.eg
+// sa
+com.sa
+net.sa
+org.sa
+gov.sa
+med.sa
+pub.sa
+edu.sa
+sch.sa
+// ke
+ac.ke
+co.ke
+go.ke
+info.ke
+me.ke
+mobi.ke
+ne.ke
+or.ke
+sc.ke
+// ng
+com.ng
+edu.ng
+gov.ng
+i.ng
+mil.ng
+mobi.ng
+name.ng
+net.ng
+org.ng
+sch.ng
+// wildcard-only ccTLDs
+*.bd
+*.ck
+!www.ck
+*.er
+*.fk
+*.jm
+*.kh
+*.mm
+*.np
+*.pg
+// ---- PRIVATE section (curated): platform suffixes whose subdomains
+// ---- are DIFFERENT owners — exactly what politeness must separate
+github.io
+gitlab.io
+blogspot.com
+appspot.com
+herokuapp.com
+netlify.app
+vercel.app
+web.app
+firebaseapp.com
+cloudfront.net
+s3.amazonaws.com
+azurewebsites.net
+pages.dev
+workers.dev
+repl.co
+"""
+
+#: longest rule length we resolve (labels). The curated snapshot's max
+#: is 3 (city.kawasaki.jp / s3.amazonaws.com); the full PSL has a few
+#: 4-label rules, which this covers too.
+MAX_RULE_LABELS = 4
+
+_KIND_NORMAL = "normal"
+_KIND_WILDCARD = "wildcard"  # stored WITHOUT the '*.' (the base)
+_KIND_EXCEPTION = "exception"  # stored WITHOUT the '!'
+
+
+def parse_psl(text: str = PSL_SNAPSHOT) -> list[tuple[str, str]]:
+    """(rule, kind) tuples from publicsuffix.org-format text."""
+    rules: list[tuple[str, str]] = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("//"):
+            continue
+        if line.startswith("!"):
+            rules.append((line[1:], _KIND_EXCEPTION))
+        elif line.startswith("*."):
+            rules.append((line[2:], _KIND_WILDCARD))
+        else:
+            rules.append((line, _KIND_NORMAL))
+    return rules
+
+
+def psl_table(spark: SparkSession, text: str = PSL_SNAPSHOT) -> DataFrame:
+    """The broadcastable rule table: (rule string, kind string)."""
+    return spark.createDataFrame(parse_psl(text), "rule string, kind string")
+
+
+def _suffix_len_py(labels: list[str], rules: dict[str, str]) -> int:
+    """Public-suffix length in labels per the PSL algorithm."""
+    n = len(labels)
+    # exceptions win outright: ps = rule minus its leftmost label
+    for k in range(min(n, MAX_RULE_LABELS), 0, -1):
+        cand = ".".join(labels[n - k :])
+        if rules.get(cand) == _KIND_EXCEPTION:
+            return k - 1
+    best = 1  # implicit '*' rule: any TLD is a public suffix
+    for k in range(1, min(n, MAX_RULE_LABELS) + 1):
+        cand = ".".join(labels[n - k :])
+        kind = rules.get(cand)
+        if kind == _KIND_NORMAL:
+            best = max(best, k)
+        if kind == _KIND_WILDCARD and n >= k + 1:
+            best = max(best, k + 1)
+    return best
+
+
+def registered_domain_py(
+    host: str | None, rules: dict[str, str] | None = None
+) -> str | None:
+    """Plain-Python twin of :func:`with_registered_domain` (tests /
+    golden vectors). None when the host IS a public suffix (or empty).
+    """
+    if not host:
+        return None
+    if rules is None:
+        rules = dict(parse_psl())
+    labels = [l for l in host.lower().rstrip(".").split(".") if l]
+    ps = _suffix_len_py(labels, rules)
+    if len(labels) <= ps:
+        return None
+    return ".".join(labels[len(labels) - ps - 1 :])
+
+
+def with_registered_domain(
+    df: DataFrame,
+    host_col: str = "host",
+    out_col: str = "registered_domain",
+    psl: DataFrame | None = None,
+) -> DataFrame:
+    """Attach the PSL registered domain (eTLD+1) of ``host_col``.
+
+    Plan: MAX_RULE_LABELS left BROADCAST hash joins (one per candidate
+    suffix length) against the tiny rule table + pure expressions — no
+    shuffle, no UDF; survives any data scale because the only state is
+    the broadcast PSL. Output is NULL when the host is itself a public
+    suffix. Hosts are lowercased and trailing dots stripped before
+    matching (PSL canonical form).
+    """
+    if psl is None:
+        psl = psl_table(df.sparkSession)
+    labels = F.split(
+        F.regexp_replace(F.lower(F.col(host_col)), r"\.$", ""), r"\."
+    )
+    tmp = df.withColumn("_psl_labels", labels).withColumn(
+        "_psl_n", F.size("_psl_labels")
+    )
+    n = F.col("_psl_n")
+    for k in range(1, MAX_RULE_LABELS + 1):
+        suffix_k = F.when(
+            n >= k,
+            F.concat_ws(".", F.slice(F.col("_psl_labels"), n - F.lit(k - 1), k)),
+        )
+        r = psl.select(
+            F.col("rule").alias(f"_psl_sfx{k}"),
+            F.col("kind").alias(f"_psl_kind{k}"),
+        )
+        tmp = tmp.withColumn(f"_psl_sfx{k}", suffix_k).join(
+            F.broadcast(r), on=f"_psl_sfx{k}", how="left"
+        )
+
+    def kind(k: int) -> Column:
+        return F.col(f"_psl_kind{k}")
+
+    # public-suffix length: exceptions (longest first) beat all; then
+    # the longest normal/wildcard match; then the implicit '*' rule.
+    ps = F.lit(None).cast("int")
+    cases: list[tuple[Column, int]] = []
+    for k in range(MAX_RULE_LABELS, 1, -1):  # exception at k -> ps k-1
+        cases.append(((kind(k) == _KIND_EXCEPTION), k - 1))
+    for k in range(MAX_RULE_LABELS, 0, -1):  # longest effective match
+        # a wildcard base of length k acts as a rule of length k+1
+        cases.append(((kind(k) == _KIND_WILDCARD) & (n >= k + 1), k + 1))
+        cases.append(((kind(k) == _KIND_NORMAL), k))
+    expr = F.lit(1)  # implicit '*'
+    for cond, val in reversed(cases):
+        expr = F.when(cond, F.lit(val)).otherwise(expr)
+    tmp = tmp.withColumn("_psl_ps", expr)
+    reg = F.when(
+        n > F.col("_psl_ps"),
+        F.concat_ws(
+            ".",
+            F.slice(
+                F.col("_psl_labels"),
+                n - F.col("_psl_ps"),
+                F.col("_psl_ps") + F.lit(1),
+            ),
+        ),
+    )
+    drop = ["_psl_labels", "_psl_n", "_psl_ps"] + [
+        c for k in range(1, MAX_RULE_LABELS + 1)
+        for c in (f"_psl_sfx{k}", f"_psl_kind{k}")
+    ]
+    return tmp.withColumn(out_col, reg).drop(*drop)

@@ -164,11 +164,13 @@ def host_of(url: Column) -> Column:
 
 
 def registered_domain_col(host: Column) -> Column:
-    """Best-effort registered domain: last two labels (no PSL in-container).
-
-    At production scale this becomes a broadcast join against the
-    Public Suffix List snapshot table; the two-label heuristic keeps
-    tests hermetic.
+    """Quick two-label heuristic — WRONG for ccTLD registrations
+    (``foo.co.uk`` -> ``co.uk``). Use
+    :func:`cmoncrawl_spark.functions.psl.with_registered_domain`
+    (broadcast PSL snapshot, exact eTLD+1) anywhere the answer
+    matters: politeness grouping, hot-domain salting, DOMAIN-match
+    index queries. Kept only as a dependency-free scalar for ad-hoc
+    exploration.
     """
     labels = F.split(host, r"\.")
     n = F.size(labels)

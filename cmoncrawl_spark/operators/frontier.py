@@ -43,16 +43,36 @@ def _order_keys() -> list[Column]:
     return [F.col("depth").asc(), F.col("priority").desc(), F.col("url_id").asc()]
 
 
-def canonicalize(frontier: DataFrame, url_col: str = "url") -> DataFrame:
+def canonicalize(
+    frontier: DataFrame,
+    url_col: str = "url",
+    domain_politeness: bool = False,
+) -> DataFrame:
     """Attach url_id (D1 canonical id) + host — all codegen expressions.
 
     host (politeness key) = parse_url HOST (the hostname); url_id keys
     on the full netloc per the reference (urls._netloc_col) — the two
     differ only for port/userinfo URLs, where politeness should indeed
-    group by hostname while the seen-id must match the reference."""
-    return frontier.withColumn("host", host_of(F.col(url_col))).withColumn(
+    group by hostname while the seen-id must match the reference.
+
+    ``domain_politeness=True`` upgrades the politeness key to the PSL
+    registered domain (eTLD+1): ``a.foo.co.uk`` and ``b.foo.co.uk``
+    share foo.co.uk's budget while ``bar.co.uk`` stays separate —
+    exact semantics of the index's url_host_registered_domain column
+    (reference F1 DOMAIN match, athena_query_maker.py:10-33). Costs
+    only broadcast joins against the tiny PSL table (functions/psl.py);
+    hosts that ARE a public suffix keep the raw hostname key."""
+    out = frontier.withColumn("host", host_of(F.col(url_col))).withColumn(
         "url_id", unify_url_id_col(F.col(url_col))
     )
+    if domain_politeness:
+        from cmoncrawl_spark.functions.psl import with_registered_domain
+
+        out = with_registered_domain(out, host_col="host", out_col="_rd")
+        out = out.withColumn(
+            "host", F.coalesce(F.col("_rd"), F.col("host"))
+        ).drop("_rd")
+    return out
 
 
 def dedupe_intra_batch(candidates: DataFrame) -> DataFrame:
@@ -114,6 +134,7 @@ def scheduling_round(
     salt_buckets: int = 16,
     global_limit: int | None = None,
     budget_cap: int | None = None,
+    domain_politeness: bool = False,
 ) -> DataFrame:
     """One full scheduling round.
 
@@ -121,11 +142,13 @@ def scheduling_round(
     seen_ids:      url_id (canonical)
     host_policies: host, budget:int, robots_disallow_all:boolean
                    (broadcast — per-host table is tiny next to the
-                   frontier even at 10^10 URLs)
+                   frontier even at 10^10 URLs); when
+                   ``domain_politeness`` is set, keyed by PSL
+                   registered domain instead of hostname.
     Returns the fetch list: url, url_id, host, depth, priority,
     budget, fetch_rank — deterministically ordered per host.
     """
-    cand = canonicalize(frontier)
+    cand = canonicalize(frontier, domain_politeness=domain_politeness)
     cand = dedupe_intra_batch(cand)
     cand = bloom_ops.dedupe_against_seen(
         cand, seen_ids, shards=bloom_shards, num_shards=num_shards

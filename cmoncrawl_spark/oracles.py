@@ -355,6 +355,32 @@ def oracles() -> dict[str, str]:
         "CAST(warc_record_length AS STRING)) || '.bin' AS cache_key "
         "FROM ccindex"
     )
+    # PSL eTLD+1: the oracle predicts each synthetic case analytically
+    # (normal rule -> last 2 labels; co.uk/com.au -> last 3; private
+    # suffix github.io -> label+suffix; wildcard *.kawasaki.jp -> the
+    # whole 4-label host; exception !city.kawasaki.jp -> city.kawasaki.jp)
+    from cmoncrawl_spark.queries import PSL_HOST_SQL
+
+    o["q_registered_domain"] = with_crawl_ctes(
+        f"""
+        SELECT registered_domain,
+               COUNT(*) AS n_rows,
+               COUNT(DISTINCT psl_host) AS n_hosts
+        FROM (
+          SELECT psl_host,
+                 CASE m
+                   WHEN 0 THEN 'mysite.com'
+                   WHEN 1 THEN 'foo.co.uk'
+                   WHEN 2 THEN 'bar.com.au'
+                   WHEN 3 THEN psl_host
+                   WHEN 4 THEN psl_host
+                   ELSE 'city.kawasaki.jp'
+                 END AS registered_domain
+          FROM ({PSL_HOST_SQL.strip()})
+        ) t
+        GROUP BY registered_domain
+        """
+    )
     o["q_bpe_token_count"] = (
         "SELECT doc_id, CAST(len(regexp_extract_all(text, "
         r"'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens "

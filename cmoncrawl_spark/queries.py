@@ -429,6 +429,47 @@ def q_lang_agg(spark, sf_dir):
     )
 
 
+#: shared host derivation for the PSL query — identical SQL on both
+#: engines so the oracle can predict eTLD+1 per case (rule exercised:
+#: normal gTLD, ccTLD 2-label, private suffix, wildcard, exception).
+PSL_HOST_SQL = """
+SELECT
+  doc_id,
+  CAST(doc_id % 6 AS INT) AS m,
+  CASE CAST(doc_id % 6 AS INT)
+    WHEN 0 THEN 'd' || CAST(doc_id % 9 AS STRING) || '.s'
+        || CAST(doc_id % 50 AS STRING) || '.mysite.com'
+    WHEN 1 THEN 'd' || CAST(doc_id % 9 AS STRING) || '.s'
+        || CAST(doc_id % 50 AS STRING) || '.foo.co.uk'
+    WHEN 2 THEN 'd' || CAST(doc_id % 9 AS STRING) || '.s'
+        || CAST(doc_id % 50 AS STRING) || '.bar.com.au'
+    WHEN 3 THEN 's' || CAST(doc_id % 50 AS STRING) || '.github.io'
+    WHEN 4 THEN 'd' || CAST(doc_id % 9 AS STRING) || '.s'
+        || CAST(doc_id % 50 AS STRING) || '.kawasaki.jp'
+    ELSE 'd' || CAST(doc_id % 9 AS STRING) || '.city.kawasaki.jp'
+  END AS psl_host
+FROM pages
+"""
+
+
+def q_registered_domain(spark, sf_dir):
+    """PSL eTLD+1 over synthetic hosts covering all rule kinds
+    (normal, ccTLD second-level, private suffix, wildcard, exception).
+    Spark side = the real broadcast-PSL operator; the oracle predicts
+    each case analytically."""
+    from cmoncrawl_spark.functions.psl import with_registered_domain
+
+    register_crawl_views(spark, sf_dir)
+    hosts = spark.sql(PSL_HOST_SQL)
+    reg = with_registered_domain(
+        hosts, host_col="psl_host", out_col="registered_domain"
+    )
+    return reg.groupBy("registered_domain").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("psl_host").alias("n_hosts"),
+    )
+
+
 def q_cache_key(spark, sf_dir):
     """X7 — sha256 byte-cache key over the index projection."""
     from cmoncrawl_spark.functions.scalars import cache_key

@@ -52,15 +52,34 @@ def write_jsonl(
 
 
 def write_html_files(df: DataFrame, path: str, url_col: str = "url") -> None:
-    """K2 — one html file per record; name = url with '/'->'_',
-    truncated to 100 chars (extractor.py:148-152)."""
+    """K2 — one html FILE per record; name = url with '/'->'_',
+    truncated to 100 chars (reference streamer.py:215-229 writes
+    ``directory / f"{name}.html"`` per record).
+
+    Spark analog: a ``foreachPartition`` writer — each task streams its
+    rows to ``<path>/<name>.html``. NOT ``partitionBy(name)``: a
+    partitioned write creates one DIRECTORY (+ metadata) per record —
+    a metadata bomb at any real scale (10k records = 10k partition
+    dirs in the table listing). ``path`` must be storage every
+    executor can reach (shared/NFS mount locally, fuse-mounted object
+    store on a cluster); duplicate names overwrite, matching the
+    reference's single-directory behavior.
+    """
+    os.makedirs(path, exist_ok=True)
     named = df.select(
         F.substring(F.translate(F.col(url_col), "/", "_"), 1, 100).alias(
             "name"
         ),
         F.col("html").cast("string").alias("value"),
     )
-    named.write.mode("overwrite").partitionBy("name").text(path)
+
+    def _write(rows) -> None:
+        for row in rows:
+            fn = os.path.join(path, f"{row['name']}.html")
+            with open(fn, "w", encoding="utf-8") as f:
+                f.write(row["value"] or "")
+
+    named.foreachPartition(_write)
 
 
 def to_memory(df: DataFrame) -> list[dict]:

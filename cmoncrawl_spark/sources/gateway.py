@@ -1,0 +1,217 @@
+"""Live CDX gateway index fetcher (closes SURVEY §2 S1's live path).
+
+The reference's GatewayAggregator walks the Common Crawl CDX API per
+crawl: one ``showNumPages`` probe, then ndjson record pages
+(/root/reference/cmoncrawl/aggregator/gateway_query.py:142-241),
+throttled globally (<= max_requests_per_second, common/throttling.py:
+38-43) with exponential-backoff retry (aggregator/utils/helpers.py:
+109-184). Users whose crawl is NOT yet in a ccindex table need this
+path; everyone else uses the table scan (operators/ccindex.py).
+
+Spark-first shape:
+- ``num_pages`` probes run DRIVER-side (one tiny request per (url,
+  crawl) — O(queries), not O(records));
+- the (url, page) work-list becomes a DataFrame and the page fetches
+  run in ``mapInPandas`` partitions — the distributed analog of the
+  reference's asyncio prefetch pool, with per-task rate limiting
+  (set ``max_requests_per_second`` to global_target / expected
+  concurrent tasks: rate is enforced per task, the cluster-wide rate
+  is the sum — same contract as the reference's per-process limit
+  under `--n_proc`, README.md:141-148);
+- records parse JVM-side afterwards (compact-timestamp decode).
+
+Everything is injected: ``client`` is any callable
+``(url, params: dict) -> (status: int, body: bytes)`` — stdlib urllib
+by default, a pooled/signing transport in production, an in-process
+fake in tests (tests/test_gateway.py runs a local http.server serving
+reference-shaped ndjson; no network in this sandbox).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections.abc import Callable, Iterator
+from urllib.parse import urlencode
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cmoncrawl_spark.sources.dao import RETRYABLE_HTTP
+
+CDX_RECORD_SCHEMA = (
+    "url string, filename string, offset bigint, length bigint, "
+    "digest string, encoding string, timestamp string"
+)
+
+
+def _stdlib_param_client(timeout: float = 60.0):
+    """(url, params) -> (status, body) on stdlib urllib."""
+    import urllib.error
+    import urllib.request
+
+    def client(url: str, params: dict) -> tuple[int, bytes]:
+        req = urllib.request.Request(f"{url}?{urlencode(params)}")
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                return resp.status, resp.read()
+        except urllib.error.HTTPError as e:
+            return e.code, b""
+
+    return client
+
+
+class CDXGateway:
+    """One gateway endpoint + throttle + retry (per task or driver)."""
+
+    def __init__(
+        self,
+        cdx_server: str,
+        client: Callable[[str, dict], tuple[int, bytes]] | None = None,
+        max_requests_per_second: float = 20.0,
+        max_retry: int = 3,
+        sleep_base: float = 1.3,
+        _sleep=time.sleep,
+        _clock=time.monotonic,
+    ) -> None:
+        self.cdx_server = cdx_server
+        self.client = client if client is not None else _stdlib_param_client()
+        self.min_interval = (
+            1.0 / max_requests_per_second if max_requests_per_second else 0.0
+        )
+        self.max_retry = max_retry
+        self.sleep_base = sleep_base
+        self._sleep = _sleep
+        self._clock = _clock
+        self._last = 0.0
+
+    def _throttled_get(self, params: dict) -> bytes:
+        last_err: Exception | None = None
+        for attempt in range(self.max_retry + 1):
+            wait = self.min_interval - (self._clock() - self._last)
+            if wait > 0:
+                self._sleep(wait)
+            self._last = self._clock()
+            status, body = self.client(self.cdx_server, params)
+            if status == 200:
+                return body
+            if status in RETRYABLE_HTTP and attempt < self.max_retry:
+                last_err = OSError(f"retryable HTTP {status}")
+                self._sleep(min(5 * (self.sleep_base**attempt), 120.0))
+                continue
+            raise OSError(f"HTTP {status} from {self.cdx_server}")
+        assert last_err is not None
+        raise last_err
+
+    def num_pages(
+        self,
+        url: str,
+        match_type: str | None = None,
+        page_size: int | None = None,
+    ) -> int:
+        """showNumPages probe (gateway_query.py:142-180)."""
+        params: dict = {"showNumPages": "true", "output": "json", "url": url}
+        if match_type is not None:
+            params["matchType"] = match_type
+        if page_size is not None:
+            params["page_size"] = page_size
+        body = self._throttled_get(params)
+        first = body.decode("utf-8").strip().splitlines()[0]
+        return int(json.loads(first).get("pages", 0))
+
+    def fetch_page(
+        self,
+        url: str,
+        page: int,
+        match_type: str | None = None,
+        since: str | None = None,
+        to: str | None = None,
+    ) -> list[dict]:
+        """One ndjson record page (gateway_query.py:182-241); compact
+        timestamps pass through as strings (decoded JVM-side)."""
+        params: dict = {"output": "json", "page": page, "url": url}
+        if match_type is not None:
+            params["matchType"] = match_type
+        if since is not None:
+            params["from"] = since
+        if to is not None:
+            params["to"] = to
+        body = self._throttled_get(params)
+        out = []
+        for line in body.decode("utf-8").splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            js = json.loads(line)
+            out.append(
+                {
+                    "url": js.get("url", ""),
+                    "filename": js.get("filename", ""),
+                    "offset": int(js.get("offset", 0)),
+                    "length": int(js.get("length", 0)),
+                    "digest": js.get("digest"),
+                    "encoding": js.get("encoding"),
+                    "timestamp": str(js.get("timestamp", "")),
+                }
+            )
+        return out
+
+
+def cdx_records(
+    spark: SparkSession,
+    cdx_server: str,
+    urls: list[str],
+    match_type: str | None = None,
+    since: str | None = None,
+    to: str | None = None,
+    client_factory: Callable[[], Callable] | None = None,
+    max_requests_per_second: float = 20.0,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed CDX index fetch -> DataFrame of domain records.
+
+    Driver probes page counts (O(urls) tiny requests), executors fetch
+    pages via mapInPandas. Returns CDX_RECORD_SCHEMA columns plus
+    ``warc_ts`` (decoded compact timestamp, JVM-side).
+    """
+    probe = CDXGateway(
+        cdx_server,
+        client=client_factory() if client_factory else None,
+        max_requests_per_second=max_requests_per_second,
+    )
+    work = [
+        (u, p)
+        for u in urls
+        for p in range(probe.num_pages(u, match_type=match_type))
+    ]
+    if not work:
+        return spark.createDataFrame([], CDX_RECORD_SCHEMA).withColumn(
+            "warc_ts", F.lit(None).cast("timestamp")
+        )
+    pages = spark.createDataFrame(work, "query_url string, page int")
+    pages = pages.repartition(partitions or min(len(work), 64))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gw = CDXGateway(
+            cdx_server,
+            client=client_factory() if client_factory else None,
+            max_requests_per_second=max_requests_per_second,
+        )
+        cols = [
+            "url", "filename", "offset", "length",
+            "digest", "encoding", "timestamp",
+        ]
+        for pdf in batches:
+            for qurl, page in zip(pdf["query_url"], pdf["page"]):
+                recs = gw.fetch_page(
+                    qurl, int(page), match_type=match_type,
+                    since=since, to=to,
+                )
+                if recs:
+                    yield pd.DataFrame(recs, columns=cols)
+
+    out = pages.mapInPandas(run, CDX_RECORD_SCHEMA)
+    from cmoncrawl_spark.functions.scalars import from_compact_timestamp
+
+    return out.withColumn("warc_ts", from_compact_timestamp(F.col("timestamp")))

@@ -142,8 +142,12 @@ def test_cli_download_html_mode_local_dao(spark, tmp_path, sf_dir):
             "--table_dir", sf_dir, "--dao_base", str(base),
         ]
     )
-    # one html file per record, url-mangled names
-    found = []
-    for root, _d, files in os.walk(out):
-        found += [f for f in files if not f.endswith(".crc") and f.startswith("part-")]
-    assert len(found) >= 1
+    # one html FILE per record (url-mangled name.html), written
+    # directly under the output dir — no partition directories
+    # (reference streamer.py:215-229 layout)
+    entries = os.listdir(out)
+    assert 1 <= len(entries) <= 3
+    assert all(e.endswith(".html") for e in entries)
+    assert not any(os.path.isdir(os.path.join(out, e)) for e in entries)
+    # host match includes www. variants (reference HOST semantics)
+    assert all("blog.hot-domain.com" in e for e in entries)

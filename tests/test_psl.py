@@ -1,0 +1,137 @@
+"""PSL registered-domain (eTLD+1): golden vectors, Spark/Python
+differential, and the frontier-grouping property the PSL exists for
+(reference F1 DOMAIN semantics sharpened — athena_query_maker.py:10-33
+matches url_host_registered_domain)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cmoncrawl_spark.functions.psl import (
+    parse_psl,
+    psl_table,
+    registered_domain_py,
+    with_registered_domain,
+)
+
+GOLDEN = {
+    # uk/au ccTLD second-level registrations (the heuristic-killer)
+    "foo.co.uk": "foo.co.uk",
+    "a.b.foo.co.uk": "foo.co.uk",
+    "www.foo.co.uk": "foo.co.uk",
+    "bar.com.au": "bar.com.au",
+    "deep.sub.bar.com.au": "bar.com.au",
+    "co.uk": None,  # the public suffix itself registers nothing
+    "uk": None,
+    # plain gTLD
+    "example.com": "example.com",
+    "www.example.com": "example.com",
+    "com": None,
+    # unlisted TLD -> implicit '*' rule
+    "foo.bar.unknowntld": "bar.unknowntld",
+    # wildcard rules: *.kawasaki.jp
+    "foo.kawasaki.jp": None,  # matches *.kawasaki.jp -> IS a suffix
+    "x.foo.kawasaki.jp": "x.foo.kawasaki.jp",
+    "kawasaki.jp": "kawasaki.jp",  # wildcard needs one more label; ps=jp
+    # exception rules: !city.kawasaki.jp
+    "city.kawasaki.jp": "city.kawasaki.jp",
+    "ward.city.kawasaki.jp": "city.kawasaki.jp",
+    # wildcard-only ccTLD *.ck with !www.ck
+    "shop.example.ck": "shop.example.ck",
+    "example.ck": None,
+    "www.ck": "www.ck",
+    "sub.www.ck": "www.ck",
+    # private-section platform suffixes: different owners per subdomain
+    "alice.github.io": "alice.github.io",
+    "www.alice.github.io": "alice.github.io",
+    "github.io": None,
+    "mybucket.s3.amazonaws.com": "mybucket.s3.amazonaws.com",
+    # canonicalization: case + trailing dot
+    "WWW.Foo.CO.UK.": "foo.co.uk",
+}
+
+
+def test_registered_domain_py_golden():
+    for host, want in GOLDEN.items():
+        got = registered_domain_py(host)
+        assert got == want, f"{host}: {got!r} != {want!r}"
+
+
+def test_with_registered_domain_matches_python_twin(spark):
+    hosts = list(GOLDEN) + [
+        "x.y.z.w.co.uk",
+        "a.gov.uk",
+        "site.blogspot.com",
+        "n.e.s3.amazonaws.com",
+        "single",
+        "a.b.c.d.e.example.org",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {
+        r["host"]: r["registered_domain"]
+        for r in with_registered_domain(df).collect()
+    }
+    for h in hosts:
+        assert got[h] == registered_domain_py(h), (
+            f"{h}: spark={got[h]!r} python={registered_domain_py(h)!r}"
+        )
+
+
+def test_with_registered_domain_plan_is_broadcast_no_shuffle(spark):
+    df = spark.createDataFrame([("foo.co.uk",)], "host string")
+    plan = (
+        with_registered_domain(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan  # no shuffle
+
+
+def test_frontier_round_groups_cctld_subdomains_by_registered_domain(spark):
+    """Politeness keyed by registered domain: a.foo.co.uk and
+    b.foo.co.uk share foo.co.uk's budget; bar.co.uk is a SEPARATE
+    domain (the two-label heuristic would have fused all of co.uk)."""
+    from cmoncrawl_spark.operators.frontier import scheduling_round
+
+    # letter-distinct paths: unify_url_id strips digits (reference D1
+    # semantics), so /p0../p4 would collapse to ONE canonical id
+    urls = [
+        (f"https://a.foo.co.uk/p{c}", 0, 1.0) for c in "abcde"
+    ] + [
+        (f"https://b.foo.co.uk/q{c}", 0, 1.0) for c in "abcde"
+    ] + [
+        (f"https://bar.co.uk/r{c}", 0, 1.0) for c in "abcde"
+    ]
+    frontier = spark.createDataFrame(
+        urls, "url string, depth int, priority double"
+    )
+    seen = spark.createDataFrame([("nope",)], "url_id string")
+    policies = spark.createDataFrame(
+        [("foo.co.uk", 4, False), ("bar.co.uk", 2, False)],
+        "host string, budget int, robots_disallow_all boolean",
+    )
+    out = scheduling_round(
+        frontier, seen, policies, domain_politeness=True
+    ).select("url", "host", "fetch_rank").collect()
+    by_host: dict[str, int] = {}
+    for r in out:
+        by_host[r["host"]] = max(by_host.get(r["host"], 0), r["fetch_rank"])
+    # foo.co.uk: 10 candidates across 2 subdomains capped at budget 4;
+    # bar.co.uk: 5 candidates capped at budget 2
+    assert by_host == {"foo.co.uk": 4, "bar.co.uk": 2}
+
+
+def test_parse_psl_shapes():
+    rules = dict(parse_psl())
+    assert rules["co.uk"] == "normal"
+    assert rules["kawasaki.jp"] == "wildcard"
+    assert rules["city.kawasaki.jp"] == "exception"
+    assert len(rules) > 200
+
+
+def test_psl_table_broadcastable(spark):
+    t = psl_table(spark)
+    assert t.columns == ["rule", "kind"]
+    assert t.count() > 200

@@ -106,6 +106,34 @@ def test_html_files_url_inference(spark, tmp_path):
     assert rows[0]["inferred_year"] == 2019
 
 
+def test_html_sink_file_per_record_no_partition_dirs(spark, tmp_path):
+    """K2 writes ONE FILE per record directly under the target dir —
+    not one partition DIRECTORY per record (metadata bomb)."""
+    import os
+
+    from cmoncrawl_spark.sinks.jsonl import write_html_files
+
+    n = 2000
+    df = spark.createDataFrame(
+        [(f"https://site{i}.cz/p/{i}", f"<html><body>{i}</body></html>")
+         for i in range(n)],
+        "url string, html string",
+    )
+    out = str(tmp_path / "html_out")
+    write_html_files(df, out)
+    entries = os.listdir(out)
+    assert len(entries) == n
+    assert all(e.endswith(".html") for e in entries)
+    assert not any(os.path.isdir(os.path.join(out, e)) for e in entries)
+    # content roundtrips (direct read: names keep the reference's
+    # ':' from 'https:', which Hadoop paths reject — same as the
+    # reference's own output, readable by the OS but not globbable
+    # via spark.read; S7 readback is covered by the jsonl tests)
+    name42 = "https:__site42.cz_p_42.html"
+    with open(os.path.join(out, name42), encoding="utf-8") as f:
+        assert f.read() == "<html><body>42</body></html>"
+
+
 def test_jsonl_sink_rotation_and_sorted_keys(spark, tmp_path):
     from cmoncrawl_spark.sinks.jsonl import count_output_files, write_jsonl
 
