@@ -134,14 +134,21 @@ policies = spark.table("host_policies").localCheckpoint(eager=True)
 shards = bloom_ops.build_shards(seen, num_shards=32, expected_per_shard=200000).localCheckpoint(eager=True)
 shards.count()
 cap = int(policies.agg({"budget": "max"}).first()[0])
-best = None
+# one UNTIMED warm-up round: first execution pays executor python-worker
+# spawn + --py-files import + JIT (measured ~4 min at 4 executors) —
+# steady-state round throughput is the metric (same protocol as
+# bench.py's untimed flagship warm run).
+scheduling_round(frontier, seen, policies, bloom_shards=shards,
+                 num_shards=32, budget_cap=cap).write.format("noop").mode("overwrite").save()
+samples = []
 for _ in range(reps):
     t0 = time.monotonic()
     scheduling_round(frontier, seen, policies, bloom_shards=shards,
                      num_shards=32, budget_cap=cap).write.format("noop").mode("overwrite").save()
-    dt = time.monotonic() - t0
-    best = dt if best is None else min(best, dt)
-print(json.dumps({"cores_max": cores_max, "sec": best, "input_urls": n_urls}))
+    samples.append(round(time.monotonic() - t0, 2))
+    print(json.dumps({"progress": samples[-1]}), file=sys.stderr, flush=True)
+print(json.dumps({"cores_max": cores_max, "sec": min(samples),
+                  "samples": samples, "input_urls": n_urls}))
 spark.stop()
 """
 
@@ -153,7 +160,7 @@ def run_level(cores_max: int, sf_dir: str, amplify: int, reps: int) -> dict:
         text=True,
         check=True,
         cwd="/root/repo",
-        timeout=420,
+        timeout=int(os.environ.get("CLUSTER_LEVEL_TIMEOUT", "900")),
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
 

@@ -188,6 +188,49 @@ def probe(
     )
 
 
+def probe_positive_ids(
+    candidates: DataFrame,
+    shards: DataFrame,
+    num_shards: int = 32,
+    id_col: str = "url_id",
+) -> DataFrame:
+    """Bloom-positive ids only — the SLIM probe the dedup path uses.
+
+    Only ``(id, h1, h2)`` enters the cogroup (three fixed-width
+    columns; h1/h2 are numpy int64 end-to-end, no pandas object
+    columns), and only the ~1%-at-scale positive ids come back out.
+    Full candidate rows never cross the Arrow boundary — measured on
+    this sandbox the full-width variant went superlinear at ~10^7 rows
+    per level (object-dtype URL columns ballooning each cogroup group);
+    the slim probe stays linear. Same shard-local protocol as
+    :func:`probe` (full filter never broadcast / collected).
+    """
+    id_type = candidates.schema[id_col].dataType
+    out_schema = StructType([StructField(id_col, id_type)])
+
+    def _probe_pos(cand: pd.DataFrame, blob: pd.DataFrame) -> pd.DataFrame:
+        if cand.empty or blob.empty:
+            return pd.DataFrame({id_col: cand[id_col].iloc[0:0]})
+        h1 = cand["h1"].to_numpy().astype(np.uint64)
+        h2 = cand["h2"].to_numpy().astype(np.uint64)
+        seen = np.zeros(len(cand), dtype=bool)
+        for _, row in blob.iterrows():
+            bits = np.frombuffer(row["bloom"], dtype=np.uint8)
+            m = int(row["m_bits"])
+            k = int(row["k_hashes"])
+            seen |= _test_bits(bits, _positions(h1, h2, k, m))
+        return pd.DataFrame({id_col: cand[id_col].to_numpy()[seen]})
+
+    slim = with_bloom_hashes(candidates.select(id_col), id_col).withColumn(
+        "shard", shard_of(F.col("h1"), num_shards)
+    )
+    return (
+        slim.groupBy("shard")
+        .cogroup(shards.groupBy(F.col("shard_id").alias("shard")))
+        .applyInPandas(_probe_pos, out_schema)
+    )
+
+
 def dedupe_against_seen(
     candidates: DataFrame,
     seen_ids: DataFrame,
@@ -197,9 +240,9 @@ def dedupe_against_seen(
 ) -> DataFrame:
     """Exact unseen-set via bloom pre-filter + anti-join backstop.
 
-    Equivalent to ``candidates.join(seen, 'left_anti')`` but the join
-    only receives bloom-positive rows. With shards=None falls back to
-    the plain exact anti-join (small inputs / tests).
+    Equivalent to ``candidates.join(seen, 'left_anti')`` but the exact
+    join only receives bloom-POSITIVE ids. With shards=None falls back
+    to the plain exact anti-join (small inputs / tests).
     """
     seen = seen_ids.select(id_col).distinct()
     if shards is None:
@@ -212,17 +255,21 @@ def dedupe_against_seen(
         probed = probe_cuckoo(
             candidates, shards, num_shards=num_shards, id_col=id_col
         )
-    else:
-        probed = probe(candidates, shards, num_shards=num_shards, id_col=id_col)
-    # ONE conditional left_anti replaces the round-1 two-branch
-    # split+union (which needed a localCheckpoint to stop the cogroup
-    # probe executing twice): bloom-negatives can never match the join
-    # condition, so they stream through untouched; only positives are
-    # anti-checked. Exactness is unchanged (equivalence tests pin it)
-    # and the probe has exactly one consumer — no materialization.
-    s = seen.withColumnRenamed(id_col, "_seen_id")
-    return probed.join(
-        s,
-        (F.col(id_col) == F.col("_seen_id")) & F.col("maybe_seen"),
-        "left_anti",
-    ).drop("maybe_seen")
+        s = seen.withColumnRenamed(id_col, "_seen_id")
+        return probed.join(
+            s,
+            (F.col(id_col) == F.col("_seen_id")) & F.col("maybe_seen"),
+            "left_anti",
+        ).drop("maybe_seen")
+    # Bloom path (round 3): slim probe -> exact confirm -> one anti
+    # join. positives ∩ seen is exactly candidates ∩ seen (the bloom
+    # has no false negatives), so anti-joining candidates against the
+    # CONFIRMED hits equals the exact anti-join — while the shuffled /
+    # Arrow-transferred intermediates shrink from full rows to single
+    # id columns. The confirm join and the final anti-join both
+    # broadcast whenever their small side allows (AQE decides).
+    pos = probe_positive_ids(
+        candidates, shards, num_shards=num_shards, id_col=id_col
+    )
+    hits = pos.join(seen, on=id_col, how="left_semi")
+    return candidates.join(hits, on=id_col, how="left_anti")

@@ -67,6 +67,18 @@ def sign_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def _sign_bucket_py(vec: list[float], planes: list[list[float]]) -> str:
+    """Python twin of :func:`sign_bucket` — same in-order double fold
+    (acc += x*y left-to-right), so signs match Spark bit-for-bit."""
+    out = []
+    for p in planes:
+        acc = 0.0
+        for x, y in zip(vec, p):
+            acc += x * y
+        out.append("1" if acc >= 0 else "0")
+    return "".join(out)
+
+
 def _topk_ranked(sims: DataFrame, id_col: str, k: int) -> DataFrame:
     """Scale-safe top-k + rank over a (id, sim) DataFrame.
 
@@ -249,11 +261,10 @@ def ann_topk(
     keyed = vecs.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("bucket", sign_bucket(F.col("v"), planes))
-    qbucket_row = (
-        vecs.sparkSession.range(1)
-        .select(sign_bucket(qcol, planes).alias("b"))
-        .first()
-    )
-    cand = keyed.where(F.col("bucket") == qbucket_row["b"])
+    # query bucket driver-side in pure Python: planes are literals and
+    # the in-order fold is the same IEEE sequence Spark's F.aggregate
+    # runs, so no Spark job is needed for one constant
+    qbucket = _sign_bucket_py([float(v) for v in query_vec_values], planes)
+    cand = keyed.where(F.col("bucket") == qbucket)
     sim = cosine(F.col("v"), qcol)
     return _topk_ranked(cand.select(F.col(id_col), sim.alias("sim")), id_col, k)

@@ -39,6 +39,29 @@ def test_bloom_no_false_negatives(spark, sf_dir):
     assert n > 0 and pos == n  # every inserted id must probe positive
 
 
+def test_slim_probe_positive_ids_supersets_seen(spark, sf_dir):
+    """probe_positive_ids == {ids whose bloom test passes}: contains
+    every truly-seen candidate (no false negatives) and agrees with
+    the full-width probe's maybe_seen flags exactly."""
+    register_crawl_views(spark, sf_dir)
+    cand = canonicalize(_frontier(spark, sf_dir))
+    seen = _seen(spark)
+    shards = bloom_ops.build_shards(seen, num_shards=8, expected_per_shard=1000)
+    pos = set(
+        r["url_id"]
+        for r in bloom_ops.probe_positive_ids(
+            cand, shards, num_shards=8
+        ).collect()
+    )
+    flags = {
+        r["url_id"]: r["maybe_seen"]
+        for r in bloom_ops.probe(cand, shards, num_shards=8).collect()
+    }
+    assert pos == {u for u, m in flags.items() if m}
+    truly_seen = {r["url_id"] for r in seen.collect()} & set(flags)
+    assert truly_seen <= pos
+
+
 def test_bloom_dedupe_equals_exact_antijoin(spark, sf_dir):
     cand = canonicalize(_frontier(spark, sf_dir))
     seen = _seen(spark)
