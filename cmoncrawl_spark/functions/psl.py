@@ -470,8 +470,14 @@ def with_registered_domain(
     """
     if psl is None:
         psl = psl_table(df.sparkSession)
-    labels = F.split(
-        F.regexp_replace(F.lower(F.col(host_col)), r"\.$", ""), r"\."
+    # Drop repeated trailing dots AND empty labels so malformed hosts
+    # ('a..co.uk', 'foo.co.uk..') resolve identically to the Python
+    # twin, which filters empty labels (registered_domain_py).
+    labels = F.filter(
+        F.split(
+            F.regexp_replace(F.lower(F.col(host_col)), r"\.+$", ""), r"\."
+        ),
+        lambda x: x != "",
     )
     tmp = df.withColumn("_psl_labels", labels).withColumn(
         "_psl_n", F.size("_psl_labels")

@@ -63,8 +63,13 @@ def write_html_files(df: DataFrame, path: str, url_col: str = "url") -> None:
     dirs in the table listing). ``path`` must be storage every
     executor can reach (shared/NFS mount locally, fuse-mounted object
     store on a cluster); duplicate names overwrite, matching the
-    reference's single-directory behavior.
+    reference's single-directory behavior. The target directory is
+    cleared first (overwrite semantics, like the old partitioned
+    write) so stale files from a previous run never linger.
     """
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     named = df.select(
         F.substring(F.translate(F.col(url_col), "/", "_"), 1, 100).alias(

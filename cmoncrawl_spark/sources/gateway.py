@@ -46,6 +46,15 @@ CDX_RECORD_SCHEMA = (
 )
 
 
+class GatewayHTTPError(OSError):
+    """Non-2xx gateway response, with the HTTP status attached so
+    callers can degrade per-URL (404 = no captures)."""
+
+    def __init__(self, status: int, msg: str) -> None:
+        super().__init__(msg)
+        self.status = status
+
+
 def _stdlib_param_client(timeout: float = 60.0):
     """(url, params) -> (status, body) on stdlib urllib."""
     import urllib.error
@@ -87,7 +96,6 @@ class CDXGateway:
         self._last = 0.0
 
     def _throttled_get(self, params: dict) -> bytes:
-        last_err: Exception | None = None
         for attempt in range(self.max_retry + 1):
             wait = self.min_interval - (self._clock() - self._last)
             if wait > 0:
@@ -96,13 +104,19 @@ class CDXGateway:
             status, body = self.client(self.cdx_server, params)
             if status == 200:
                 return body
-            if status in RETRYABLE_HTTP and attempt < self.max_retry:
-                last_err = OSError(f"retryable HTTP {status}")
-                self._sleep(min(5 * (self.sleep_base**attempt), 120.0))
-                continue
-            raise OSError(f"HTTP {status} from {self.cdx_server}")
-        assert last_err is not None
-        raise last_err
+            if status in RETRYABLE_HTTP:
+                if attempt < self.max_retry:
+                    self._sleep(min(5 * (self.sleep_base**attempt), 120.0))
+                    continue
+                raise GatewayHTTPError(
+                    status,
+                    f"HTTP {status} from {self.cdx_server}: "
+                    f"retries exhausted after {attempt + 1} attempts",
+                )
+            raise GatewayHTTPError(
+                status, f"HTTP {status} from {self.cdx_server}"
+            )
+        raise AssertionError("unreachable")
 
     def num_pages(
         self,
@@ -110,13 +124,24 @@ class CDXGateway:
         match_type: str | None = None,
         page_size: int | None = None,
     ) -> int:
-        """showNumPages probe (gateway_query.py:142-180)."""
+        """showNumPages probe (gateway_query.py:142-180).
+
+        A 404 means the gateway found no captures for this URL in this
+        crawl — the reference treats that as an empty result and moves
+        on (gateway_query.py:297-312), so it is 0 pages here, not an
+        error.
+        """
         params: dict = {"showNumPages": "true", "output": "json", "url": url}
         if match_type is not None:
             params["matchType"] = match_type
         if page_size is not None:
             params["page_size"] = page_size
-        body = self._throttled_get(params)
+        try:
+            body = self._throttled_get(params)
+        except GatewayHTTPError as e:
+            if e.status == 404:
+                return 0
+            raise
         first = body.decode("utf-8").strip().splitlines()[0]
         return int(json.loads(first).get("pages", 0))
 
@@ -137,7 +162,12 @@ class CDXGateway:
             params["from"] = since
         if to is not None:
             params["to"] = to
-        body = self._throttled_get(params)
+        try:
+            body = self._throttled_get(params)
+        except GatewayHTTPError as e:
+            if e.status == 404:  # page vanished between probe and fetch
+                return []
+            raise
         out = []
         for line in body.decode("utf-8").splitlines():
             line = line.strip()
@@ -168,29 +198,74 @@ def cdx_records(
     client_factory: Callable[[], Callable] | None = None,
     max_requests_per_second: float = 20.0,
     partitions: int | None = None,
+    probe_partitions: int | None = None,
 ) -> DataFrame:
     """Distributed CDX index fetch -> DataFrame of domain records.
 
-    Driver probes page counts (O(urls) tiny requests), executors fetch
-    pages via mapInPandas. Returns CDX_RECORD_SCHEMA columns plus
-    ``warc_ts`` (decoded compact timestamp, JVM-side).
+    Both stages run on executors via ``mapInPandas`` — the distributed
+    analog of the reference's interleaved prefetch pool
+    (gateway_query.py:315-332):
+
+    1. probe stage: ``showNumPages`` per seed URL, fanned across
+       ``probe_partitions`` tasks (a driver-side loop at 20 rps would
+       serialize ~83 min of HTTP for a 10^5-URL seed list);
+    2. page expansion: ``explode(sequence(...))`` JVM-side;
+    3. fetch stage: ndjson page fetches across ``partitions`` tasks.
+
+    Per-URL degrade matches the reference (gateway_query.py:297-312):
+    404 probes count as 0 pages; any other probe failure logs a
+    warning and skips that URL instead of aborting the whole fetch.
+    ``max_requests_per_second`` is enforced PER TASK — size it to
+    global_target / min(partitions, executor slots).
+
+    The plan is lazy: re-running an action re-fetches. Persist the
+    result (or write it to a table) before multi-action use.
+
+    Returns CDX_RECORD_SCHEMA columns plus ``warc_ts`` (decoded
+    compact timestamp, JVM-side).
     """
-    probe = CDXGateway(
-        cdx_server,
-        client=client_factory() if client_factory else None,
-        max_requests_per_second=max_requests_per_second,
-    )
-    work = [
-        (u, p)
-        for u in urls
-        for p in range(probe.num_pages(u, match_type=match_type))
-    ]
-    if not work:
+    if not urls:
         return spark.createDataFrame([], CDX_RECORD_SCHEMA).withColumn(
             "warc_ts", F.lit(None).cast("timestamp")
         )
-    pages = spark.createDataFrame(work, "query_url string, page int")
-    pages = pages.repartition(partitions or min(len(work), 64))
+    seeds = spark.createDataFrame(
+        [(u,) for u in urls], "query_url string"
+    ).repartition(probe_partitions or min(len(urls), 32))
+
+    def probe_stage(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        gw = CDXGateway(
+            cdx_server,
+            client=client_factory() if client_factory else None,
+            max_requests_per_second=max_requests_per_second,
+        )
+        for pdf in batches:
+            counts = []
+            for u in pdf["query_url"]:
+                try:
+                    counts.append(gw.num_pages(u, match_type=match_type))
+                except OSError as e:  # degrade per URL, like the reference
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "CDX probe failed for %s: %s — skipping", u, e
+                    )
+                    counts.append(0)
+            yield pd.DataFrame(
+                {"query_url": pdf["query_url"], "num_pages": counts}
+            )
+
+    probed = seeds.mapInPandas(
+        probe_stage, "query_url string, num_pages int"
+    )
+    pages = probed.where(F.col("num_pages") > 0).select(
+        "query_url",
+        F.explode(
+            F.sequence(F.lit(0), F.col("num_pages") - 1)
+        ).alias("page"),
+    )
+    pages = pages.repartition(partitions or 64, "query_url", "page")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         gw = CDXGateway(
@@ -204,10 +279,19 @@ def cdx_records(
         ]
         for pdf in batches:
             for qurl, page in zip(pdf["query_url"], pdf["page"]):
-                recs = gw.fetch_page(
-                    qurl, int(page), match_type=match_type,
-                    since=since, to=to,
-                )
+                try:
+                    recs = gw.fetch_page(
+                        qurl, int(page), match_type=match_type,
+                        since=since, to=to,
+                    )
+                except OSError as e:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "CDX page fetch failed for %s page %s: %s — "
+                        "skipping", qurl, page, e,
+                    )
+                    continue
                 if recs:
                     yield pd.DataFrame(recs, columns=cols)
 

@@ -33,7 +33,7 @@ import hashlib
 import hmac
 from collections.abc import Callable
 from datetime import datetime, timezone
-from urllib.parse import quote, urlsplit
+from urllib.parse import quote, unquote, urlsplit
 
 _ALGO = "AWS4-HMAC-SHA256"
 _EMPTY_SHA256 = hashlib.sha256(b"").hexdigest()
@@ -60,15 +60,19 @@ def canonical_request(
     S3 uses single URI-encoding); query params sorted & encoded.
     """
     parts = urlsplit(url)
-    # S3-style: encode each path segment, keep '/'
-    canon_uri = quote(parts.path or "/", safe="/-_.~")
+    # S3-style: encode each path segment exactly once, keep '/'. The
+    # incoming URL is typically already percent-encoded, so unquote
+    # first — otherwise '%' itself gets re-encoded and S3 rejects the
+    # signature for keys containing encoded characters.
+    canon_uri = quote(unquote(parts.path or "/"), safe="/-_.~")
     q = sorted(
-        p.split("=", 1) if "=" in p else (p, "")
+        tuple(p.split("=", 1)) if "=" in p else (p, "")
         for p in parts.query.split("&")
         if p
     )
     canon_query = "&".join(
-        f"{quote(k, safe='-_.~')}={quote(v, safe='-_.~')}" for k, v in q
+        f"{quote(unquote(k), safe='-_.~')}={quote(unquote(v), safe='-_.~')}"
+        for k, v in q
     )
     lower = {k.lower().strip(): " ".join(v.split()) for k, v in headers.items()}
     signed = ";".join(sorted(lower))

@@ -120,9 +120,7 @@ def test_cdx_gateway_retries_on_503(spark):
         srv.shutdown()
 
 
-def test_cdx_gateway_raises_on_non_retryable(spark):
-    from cmoncrawl_spark.sources.gateway import CDXGateway
-
+def _serve_status(status: int):
     import http.server
 
     class H(http.server.BaseHTTPRequestHandler):
@@ -130,18 +128,51 @@ def test_cdx_gateway_raises_on_non_retryable(spark):
             pass
 
         def do_GET(self):
-            self.send_response(404)
+            self.send_response(status)
             self.end_headers()
 
     srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}/cdx"
+
+
+def test_cdx_gateway_raises_on_non_retryable(spark):
+    from cmoncrawl_spark.sources.gateway import CDXGateway
+
+    srv, base = _serve_status(403)
+    try:
+        gw = CDXGateway(base, max_requests_per_second=0, _sleep=lambda s: None)
+        with pytest.raises(OSError, match="HTTP 403"):
+            gw.num_pages("example.com")
+    finally:
+        srv.shutdown()
+
+
+def test_cdx_gateway_404_probe_is_zero_pages(spark):
+    """Real CDX gateways return 404 ('No Captures found') for a URL
+    with no captures in a crawl; the reference degrades per-crawl
+    (gateway_query.py:297-312) — probe must report 0 pages, not raise."""
+    from cmoncrawl_spark.sources.gateway import CDXGateway
+
+    srv, base = _serve_status(404)
+    try:
+        gw = CDXGateway(base, max_requests_per_second=0, _sleep=lambda s: None)
+        assert gw.num_pages("no-captures.example") == 0
+        assert gw.fetch_page("no-captures.example", 0) == []
+    finally:
+        srv.shutdown()
+
+
+def test_cdx_gateway_retries_exhausted_message(spark):
+    from cmoncrawl_spark.sources.gateway import CDXGateway
+
+    srv, base = _serve_status(503)
     try:
         gw = CDXGateway(
-            f"http://127.0.0.1:{srv.server_address[1]}/cdx",
-            max_requests_per_second=0,
+            base, max_requests_per_second=0, max_retry=2,
             _sleep=lambda s: None,
         )
-        with pytest.raises(OSError, match="HTTP 404"):
+        with pytest.raises(OSError, match="retries exhausted"):
             gw.num_pages("example.com")
     finally:
         srv.shutdown()
@@ -182,3 +213,72 @@ def test_cli_download_record_via_gateway(spark, tmp_path):
         assert all("offset" in l["domain_record"] for l in lines)
     finally:
         srv.shutdown()
+
+
+# ---- distributed probe stage (round-4: probes must NOT serialize on
+# the driver — a 10^5-URL seed list at 20 rps would be ~83 min of
+# driver HTTP before any executor works) ----
+
+def test_cdx_probes_run_on_executors(spark, tmp_path):
+    """100+ seed URLs: page-count probes execute inside executor
+    Python workers (concurrently), never as a serial driver loop; a
+    404 seed is skipped without aborting the fetch.
+
+    The fake client is a nested closure so cloudpickle ships it BY
+    VALUE into the mapInPandas tasks (the tests package is not on the
+    workers' sys.path). It records (pid, kind) per request,
+    synthesizes 1 page / 1 record per URL, 404s 'missing.*' seeds."""
+    import os
+
+    from cmoncrawl_spark.sources.gateway import cdx_records
+
+    log = str(tmp_path / "requests.log")
+    open(log, "w").close()
+    urls = [f"site{i:03d}.example" for i in range(110)] + [
+        "missing.example"
+    ]
+
+    def factory():
+        def client(url, params):
+            import json as _json
+            import os as _os
+
+            kind = "probe" if params.get("showNumPages") else "page"
+            with open(log, "a") as f:
+                f.write(f"{_os.getpid()}\t{kind}\t{params.get('url')}\n")
+            if params.get("url", "").startswith("missing"):
+                return 404, b""
+            if kind == "probe":
+                return 200, _json.dumps({"pages": 1}).encode()
+            rec = {
+                "url": f"https://{params['url']}/x",
+                "filename": "crawl-data/CC-MAIN-2023-14/seg/warc/f.warc.gz",
+                "offset": "0",
+                "length": "10",
+                "digest": "SHA1:XYZ",
+                "encoding": "UTF-8",
+                "timestamp": "20230301000000",
+            }
+            return 200, _json.dumps(rec).encode()
+
+        return client
+    df = cdx_records(
+        spark,
+        "http://fake-gateway.invalid/cdx",
+        urls,
+        client_factory=factory,
+        max_requests_per_second=0,
+        probe_partitions=8,
+        partitions=8,
+    )
+    got = {r["url"] for r in df.collect()}
+    assert got == {f"https://site{i:03d}.example/x" for i in range(110)}
+
+    probe_pids = set()
+    with open(log) as f:
+        for line in f:
+            pid, kind, _u = line.rstrip("\n").split("\t")
+            if kind == "probe":
+                probe_pids.add(int(pid))
+    assert os.getpid() not in probe_pids, "probes ran on the driver"
+    assert len(probe_pids) >= 2, "probes did not fan out across workers"

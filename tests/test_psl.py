@@ -135,3 +135,28 @@ def test_psl_table_broadcastable(spark):
     t = psl_table(spark)
     assert t.columns == ["rule", "kind"]
     assert t.count() > 200
+
+
+def test_registered_domain_malformed_hosts_twin_parity(spark):
+    """Empty labels and repeated trailing dots: the Spark column and
+    the Python twin must agree (ADVICE r3 — 'a..co.uk' used to emit
+    '.co.uk' from the column path only)."""
+    from cmoncrawl_spark.functions.psl import (
+        registered_domain_py,
+        with_registered_domain,
+    )
+
+    hosts = [
+        "a..co.uk",
+        "foo.co.uk..",
+        "..example.com",
+        "example..com.",
+        "...",
+        "a.b..c.example.org",
+    ]
+    df = with_registered_domain(
+        spark.createDataFrame([(h,) for h in hosts], "host string")
+    )
+    got = {r["host"]: r["registered_domain"] for r in df.collect()}
+    for h in hosts:
+        assert got[h] == registered_domain_py(h), h

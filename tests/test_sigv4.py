@@ -141,3 +141,30 @@ def test_sigv4_session_token_and_determinism():
     assert h1["x-amz-security-token"] == "TOK"
     assert "x-amz-security-token" in h1["Authorization"]  # token is signed
     assert "host" not in h1  # urllib re-adds Host; it WAS signed
+
+
+def test_canonical_request_mixed_valueless_and_kv_params():
+    """'?acl&versionId=1' used to crash sorted() (list vs tuple); the
+    valueless param canonicalizes as 'acl=' per the SigV4 spec."""
+    canon, _signed = canonical_request(
+        "GET",
+        "https://bucket.s3.amazonaws.com/key?acl&versionId=1",
+        {"host": "bucket.s3.amazonaws.com"},
+        hashlib.sha256(b"").hexdigest(),
+    )
+    assert canon.splitlines()[2] == "acl=&versionId=1"
+
+
+def test_canonical_request_no_double_encoding():
+    """A pre-percent-encoded path/query must be encoded exactly once:
+    '%20' stays '%20' (not '%2520'), and a literal-space query value
+    encodes to '%20'."""
+    canon, _ = canonical_request(
+        "GET",
+        "https://b.s3.amazonaws.com/my%20key?prefix=a%2Fb",
+        {"host": "b.s3.amazonaws.com"},
+        hashlib.sha256(b"").hexdigest(),
+    )
+    lines = canon.splitlines()
+    assert lines[1] == "/my%20key"
+    assert lines[2] == "prefix=a%2Fb"

@@ -246,3 +246,26 @@ def test_image_resize_bytes_and_dims(spark):
         {r["media_id"]: r for r in rows}[0]["pixels"]), dtype=np.uint8
     ).reshape(2, 4, 3)
     assert (got == want).all()
+
+
+def test_write_html_files_clears_stale_output(spark, tmp_path):
+    """Overwrite semantics: files from a previous run whose URL is
+    absent from the current DataFrame must not linger (ADVICE r3)."""
+    import os
+
+    from cmoncrawl_spark.sinks.jsonl import write_html_files
+
+    out = str(tmp_path / "html")
+    df1 = spark.createDataFrame(
+        [("http://a/x", "<p>old</p>"), ("http://b/y", "<p>b</p>")],
+        "url string, html string",
+    )
+    write_html_files(df1, out)
+    df2 = spark.createDataFrame(
+        [("http://b/y", "<p>new</p>")], "url string, html string"
+    )
+    write_html_files(df2, out)
+    files = sorted(os.listdir(out))
+    assert files == ["http:__b_y.html"]
+    with open(os.path.join(out, files[0])) as f:
+        assert f.read() == "<p>new</p>"
