@@ -144,38 +144,51 @@ def urls_allowed(
 
     For each URL: among allow/disallow rules of its host whose path is
     a prefix of the URL path, the LONGEST path wins; on a tie, allow
-    wins; no matching rule (or empty Disallow) => allowed. Rules are
-    broadcast (tiny vs the frontier); the verdict is one max_by over a
-    struct ordering — no window over the frontier, no UDF.
+    wins; no matching rule (or empty Disallow) => allowed.
+
+    Plan: rules collapse to ONE array row per host (tiny — the rule
+    table is bounded by robots.txt sizes), broadcast hash join on
+    host, and the longest-match winner resolves with higher-order
+    array expressions (filter + aggregate) inside codegen. The
+    frontier is never shuffled and never row-expanded: one output row
+    per input row, no groupBy, no window, no UDF. (The previous shape
+    — expand the join then groupBy every url column — shuffled the
+    whole frontier on a wide key; this one is shuffle-free.)
     """
     path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("/"))
     u = urls.withColumn("_path", F.when(path == "", "/").otherwise(path))
-    r = (
+    per_host = (
         rules.where(F.col("rule").isin("allow", "disallow"))
         .where(F.col("path") != "")  # 'Disallow:' empty = allow all
-        .select(
-            F.col("host").alias("_rhost"),
-            F.col("rule").alias("_rule"),
-            F.col("path").alias("_rpath"),
+        .groupBy(F.col("host").alias("_rhost"))
+        .agg(
+            F.collect_list(
+                F.struct(F.col("path").alias("p"), F.col("rule").alias("r"))
+            ).alias("_rules")
         )
     )
     joined = u.join(
-        F.broadcast(r),
-        (F.col(host_col) == F.col("_rhost"))
-        & F.col("_path").startswith(F.col("_rpath")),
-        "left",
+        F.broadcast(per_host), F.col(host_col) == F.col("_rhost"), "left"
     )
-    # winner per URL: longest _rpath, allow beats disallow on ties.
-    verdict_rank = F.struct(
-        F.length("_rpath").alias("l"),
-        (F.col("_rule") == "allow").cast("int").alias("a"),
+    matching = F.filter(
+        F.col("_rules"), lambda x: F.col("_path").startswith(x["p"])
     )
-    agg = joined.groupBy(*[F.col(c) for c in urls.columns], "_path").agg(
-        F.max_by(F.col("_rule"), verdict_rank).alias("_winner")
+    # fold to the winner: longer path replaces; equal length + allow
+    # replaces (allow wins ties). Null start => null when no match.
+    winner = F.aggregate(
+        matching,
+        F.lit(None).cast("struct<p:string,r:string>"),
+        lambda acc, x: F.when(
+            acc.isNull()
+            | (F.length(x["p"]) > F.length(acc["p"]))
+            | (
+                (F.length(x["p"]) == F.length(acc["p"]))
+                & (x["r"] == "allow")
+            ),
+            x,
+        ).otherwise(acc),
     )
-    return agg.select(
+    return joined.select(
         *urls.columns,
-        (F.col("_winner").isNull() | (F.col("_winner") == "allow")).alias(
-            "allowed"
-        ),
+        (winner.isNull() | (winner["r"] == "allow")).alias("allowed"),
     )

@@ -290,7 +290,7 @@ def test_connected_components_path_graph_iterations_and_raise(spark):
     stats: dict = {}
     comp = {
         r["id"]: r["component"]
-        for r in connected_components(path, stats=stats).collect()
+        for r in connected_components(path, stats=stats, driver_max_edges=0).collect()
     }
     assert comp == {i: 0 for i in range(n)}
     assert stats["converged"]
@@ -303,7 +303,7 @@ def test_connected_components_path_graph_iterations_and_raise(spark):
     # with pointer jumping a 12-path converges in ~3 rounds, so force
     # non-convergence with a 1-iteration budget
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(path, max_iters=1)
+        connected_components(path, max_iters=1, driver_max_edges=0)
 
 
 def test_asof_join_default_tiebreak_deterministic(spark):
@@ -354,3 +354,54 @@ def test_connected_components_deterministic_under_repartition(spark):
         for r in connected_components(df.repartition(13)).collect()
     }
     assert r1 == r2 and r1
+
+
+def test_connected_components_100_chain_olog_iterations(spark):
+    """Adaptive pointer jumping: a 100-path (diameter 99) must settle
+    in O(log d) iterations — ~check_every plain-hooking rounds, then
+    doubling shortcut rounds — NOT ~99 propagation steps."""
+    from cmoncrawl_spark.operators.dedup import connected_components
+
+    n = 100
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    stats: dict = {}
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(path, stats=stats, driver_max_edges=0).collect()
+    }
+    assert comp == {i: 0 for i in range(n)}
+    assert stats["converged"]
+    # 3 hooking rounds + ~log2(100) jump rounds + confirmation block
+    assert stats["iterations"] <= 24, stats
+
+
+def test_connected_components_driver_fastpath_matches_distributed(spark):
+    """Small-graph union-find fast path: identical (id, component)
+    labels as the distributed loop on a random sparse graph, and the
+    fast path actually engages below the edge threshold."""
+    import random
+
+    from cmoncrawl_spark.operators.dedup import connected_components
+
+    rng = random.Random(42)
+    edges = list({
+        tuple(sorted(rng.sample(range(200), 2))) for _ in range(150)
+    })
+    df = spark.createDataFrame(edges, "a long, b long")
+    s_fast: dict = {}
+    fast = {
+        (r["id"], r["component"])
+        for r in connected_components(df, stats=s_fast).collect()
+    }
+    s_dist: dict = {}
+    dist = {
+        (r["id"], r["component"])
+        for r in connected_components(
+            df, stats=s_dist, driver_max_edges=0
+        ).collect()
+    }
+    assert s_fast["mode"] == "driver_union_find"
+    assert s_dist["mode"] == "distributed"
+    assert fast == dist
