@@ -412,40 +412,83 @@ def parse_psl(text: str = PSL_SNAPSHOT) -> list[tuple[str, str]]:
     return rules
 
 
-def psl_table(spark: SparkSession, text: str = PSL_SNAPSHOT) -> DataFrame:
-    """The broadcastable rule table: (rule string, kind string)."""
+def rule_max_labels(rules) -> int:
+    """Deepest rule in a parsed rule set, in labels (wildcard bases
+    count their stored labels; the '+1' a wildcard adds to the public
+    suffix does not widen the JOIN depth — only the base must match)."""
+    items = rules.keys() if isinstance(rules, dict) else [r for r, _ in rules]
+    return max((r.count(".") + 1 for r in items), default=1)
+
+
+def psl_table(
+    spark: SparkSession,
+    text: str = PSL_SNAPSHOT,
+    path: str | None = None,
+) -> DataFrame:
+    """The broadcastable rule table: (rule string, kind string).
+
+    Deployment swap for the FULL public suffix list (~10k rules) is
+    one line: ``psl_table(spark, path="/path/to/public_suffix_list.dat")``
+    — any publicsuffix.org-format text loads; deeper-than-4-label
+    rules are handled because :func:`with_registered_domain` sizes its
+    join ladder from the rule table itself.
+    """
+    if path is not None:
+        with open(path, encoding="utf-8") as f:
+            text = f.read()
     return spark.createDataFrame(parse_psl(text), "rule string, kind string")
 
 
-def _suffix_len_py(labels: list[str], rules: dict[str, str]) -> int:
-    """Public-suffix length in labels per the PSL algorithm."""
+def _kind_map(rules) -> dict[str, set]:
+    """rule -> SET of kinds. The same base string can carry several
+    kinds (a full PSL can list both ``foo.bar`` and ``*.foo.bar``) —
+    a plain dict silently drops all but one, which both twins used to
+    do; every consumer must consider all kinds of a matched rule."""
+    items = rules.items() if isinstance(rules, dict) else rules
+    out: dict[str, set] = {}
+    for r, k in items:
+        s = out.setdefault(r, set())
+        if isinstance(k, str):
+            s.add(k)
+        else:
+            s.update(k)
+    return out
+
+
+def _suffix_len_py(labels: list[str], rules, max_labels: int | None = None) -> int:
+    """Public-suffix length in labels per the PSL algorithm.
+
+    ``rules``: dict rule->kind, dict rule->set-of-kinds, or the
+    (rule, kind) list from :func:`parse_psl`.
+    """
+    kinds = _kind_map(rules)
+    ml = max_labels if max_labels is not None else rule_max_labels(kinds)
     n = len(labels)
     # exceptions win outright: ps = rule minus its leftmost label
-    for k in range(min(n, MAX_RULE_LABELS), 0, -1):
+    for k in range(min(n, ml), 0, -1):
         cand = ".".join(labels[n - k :])
-        if rules.get(cand) == _KIND_EXCEPTION:
+        if _KIND_EXCEPTION in kinds.get(cand, ()):
             return k - 1
     best = 1  # implicit '*' rule: any TLD is a public suffix
-    for k in range(1, min(n, MAX_RULE_LABELS) + 1):
+    for k in range(1, min(n, ml) + 1):
         cand = ".".join(labels[n - k :])
-        kind = rules.get(cand)
-        if kind == _KIND_NORMAL:
+        kk = kinds.get(cand, ())
+        if _KIND_NORMAL in kk:
             best = max(best, k)
-        if kind == _KIND_WILDCARD and n >= k + 1:
+        if _KIND_WILDCARD in kk and n >= k + 1:
             best = max(best, k + 1)
     return best
 
 
-def registered_domain_py(
-    host: str | None, rules: dict[str, str] | None = None
-) -> str | None:
+def registered_domain_py(host: str | None, rules=None) -> str | None:
     """Plain-Python twin of :func:`with_registered_domain` (tests /
     golden vectors). None when the host IS a public suffix (or empty).
+    ``rules`` as in :func:`_suffix_len_py`; default = bundled snapshot.
     """
     if not host:
         return None
     if rules is None:
-        rules = dict(parse_psl())
+        rules = parse_psl()
     labels = [l for l in host.lower().rstrip(".").split(".") if l]
     ps = _suffix_len_py(labels, rules)
     if len(labels) <= ps:
@@ -458,18 +501,36 @@ def with_registered_domain(
     host_col: str = "host",
     out_col: str = "registered_domain",
     psl: DataFrame | None = None,
+    max_rule_labels: int | None = None,
 ) -> DataFrame:
     """Attach the PSL registered domain (eTLD+1) of ``host_col``.
 
-    Plan: MAX_RULE_LABELS left BROADCAST hash joins (one per candidate
-    suffix length) against the tiny rule table + pure expressions — no
-    shuffle, no UDF; survives any data scale because the only state is
-    the broadcast PSL. Output is NULL when the host is itself a public
-    suffix. Hosts are lowercased and trailing dots stripped before
-    matching (PSL canonical form).
+    Plan: K left BROADCAST hash joins (one per candidate suffix
+    length, K = deepest rule in the rule set) against the tiny rule
+    table + pure expressions — no shuffle, no UDF; survives any data
+    scale because the only state is the broadcast PSL. Output is NULL
+    when the host is itself a public suffix. Hosts are lowercased and
+    trailing dots stripped before matching (PSL canonical form).
+
+    K sizes itself from the rules: the bundled snapshot plans K=3;
+    a full public-suffix-list file with 5-label rules plans K=5. For
+    a custom ``psl`` DataFrame, K comes from one tiny driver-side agg
+    over the rule table (O(rules), runs once at plan construction) —
+    pass ``max_rule_labels`` to skip it.
     """
     if psl is None:
-        psl = psl_table(df.sparkSession)
+        rules_list = parse_psl()
+    else:
+        # the rule table is tiny broadcast state (~10k rows for the
+        # full list); pulling it to the driver once at plan
+        # construction keeps the flag prep shuffle-free
+        rules_list = [(r["rule"], r["kind"]) for r in psl.collect()]
+    kinds = _kind_map(rules_list)
+    ml = (
+        max_rule_labels
+        if max_rule_labels is not None
+        else rule_max_labels(kinds)
+    )
     # Drop repeated trailing dots AND empty labels so malformed hosts
     # ('a..co.uk', 'foo.co.uk..') resolve identically to the Python
     # twin, which filters empty labels (registered_domain_py).
@@ -483,32 +544,47 @@ def with_registered_domain(
         "_psl_n", F.size("_psl_labels")
     )
     n = F.col("_psl_n")
-    for k in range(1, MAX_RULE_LABELS + 1):
+    # ONE row per rule string with kind flags: the same base can carry
+    # several kinds (e.g. 'foo.bar' + '*.foo.bar' in a full list) and
+    # a per-kind row table would DUPLICATE every matching host row in
+    # the join. Flags fold driver-side (tiny), so the broadcast side
+    # stays exchange-free.
+    flags = df.sparkSession.createDataFrame(
+        [
+            (
+                r,
+                int(_KIND_NORMAL in s),
+                int(_KIND_WILDCARD in s),
+                int(_KIND_EXCEPTION in s),
+            )
+            for r, s in kinds.items()
+        ],
+        "rule string, nrm int, wld int, exc int",
+    )
+    for k in range(1, ml + 1):
         suffix_k = F.when(
             n >= k,
             F.concat_ws(".", F.slice(F.col("_psl_labels"), n - F.lit(k - 1), k)),
         )
-        r = psl.select(
+        r = flags.select(
             F.col("rule").alias(f"_psl_sfx{k}"),
-            F.col("kind").alias(f"_psl_kind{k}"),
+            F.col("nrm").alias(f"_psl_nrm{k}"),
+            F.col("wld").alias(f"_psl_wld{k}"),
+            F.col("exc").alias(f"_psl_exc{k}"),
         )
         tmp = tmp.withColumn(f"_psl_sfx{k}", suffix_k).join(
             F.broadcast(r), on=f"_psl_sfx{k}", how="left"
         )
 
-    def kind(k: int) -> Column:
-        return F.col(f"_psl_kind{k}")
-
     # public-suffix length: exceptions (longest first) beat all; then
     # the longest normal/wildcard match; then the implicit '*' rule.
-    ps = F.lit(None).cast("int")
     cases: list[tuple[Column, int]] = []
-    for k in range(MAX_RULE_LABELS, 1, -1):  # exception at k -> ps k-1
-        cases.append(((kind(k) == _KIND_EXCEPTION), k - 1))
-    for k in range(MAX_RULE_LABELS, 0, -1):  # longest effective match
+    for k in range(ml, 1, -1):  # exception at k -> ps k-1
+        cases.append(((F.col(f"_psl_exc{k}") == 1), k - 1))
+    for k in range(ml, 0, -1):  # longest effective match
         # a wildcard base of length k acts as a rule of length k+1
-        cases.append(((kind(k) == _KIND_WILDCARD) & (n >= k + 1), k + 1))
-        cases.append(((kind(k) == _KIND_NORMAL), k))
+        cases.append(((F.col(f"_psl_wld{k}") == 1) & (n >= k + 1), k + 1))
+        cases.append(((F.col(f"_psl_nrm{k}") == 1), k))
     expr = F.lit(1)  # implicit '*'
     for cond, val in reversed(cases):
         expr = F.when(cond, F.lit(val)).otherwise(expr)
@@ -525,7 +601,9 @@ def with_registered_domain(
         ),
     )
     drop = ["_psl_labels", "_psl_n", "_psl_ps"] + [
-        c for k in range(1, MAX_RULE_LABELS + 1)
-        for c in (f"_psl_sfx{k}", f"_psl_kind{k}")
+        c for k in range(1, ml + 1)
+        for c in (
+            f"_psl_sfx{k}", f"_psl_nrm{k}", f"_psl_wld{k}", f"_psl_exc{k}"
+        )
     ]
     return tmp.withColumn(out_col, reg).drop(*drop)

@@ -50,14 +50,27 @@ def set_image_decoder(fn: Callable[[bytes], np.ndarray] | None) -> None:
     _IMAGE_DECODER = fn
 
 
+def _md5_lower64(data: bytes) -> int:
+    """Little-endian uint64 of the LAST 8 md5 bytes — the bytes-level
+    twin of DuckDB's ``md5_number_lower`` (and of
+    functions/scalars.portable_hash64). Using it for the fake decodes
+    makes them ORACLE-ABLE: DuckDB re-derives the identical pixels /
+    samples with pure SQL arithmetic."""
+    return int.from_bytes(hashlib.md5(data).digest()[8:16], "little")
+
+
 def _fake_pixels(payload: bytes, h: int = 8, w: int = 8) -> np.ndarray:
-    """Deterministic stand-in decode: hash-seeded pixel grid. Keeps
-    the full pipeline testable without codecs; REPLACE via
-    set_image_decoder in production."""
-    digest = hashlib.blake2b(payload, digest_size=8).digest()
-    seed = struct.unpack("<Q", digest)[0]
-    rng = np.random.Generator(np.random.PCG64(seed))
-    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    """Deterministic stand-in decode: md5-derived pixel grid
+    (byte j = md5_number_lower(payload || ':' || j) mod 256 — DuckDB
+    reproduces it, so the feature oracle closes). Keeps the full
+    pipeline testable without codecs; REPLACE via set_image_decoder
+    in production."""
+    n = h * w * 3
+    vals = [
+        _md5_lower64(payload + b":" + str(j).encode()) % 256
+        for j in range(n)
+    ]
+    return np.array(vals, dtype=np.uint8).reshape(h, w, 3)
 
 
 def decode_image(payload: bytes) -> np.ndarray:
@@ -92,7 +105,10 @@ def image_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, means, hists = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                px = decoder(bytes(payload)).astype(np.float32)
+                # float64 math: integer pixel sums are exact in double
+                # (and /64 is a power of 2), so the per-channel means
+                # are bit-identical to the DuckDB oracle's AVG.
+                px = decoder(bytes(payload)).astype(np.float64)
                 ids.append(int(mid))
                 means.append([float(x) for x in px.mean(axis=(0, 1))])
                 lum = px.mean(axis=2)
@@ -119,12 +135,19 @@ def set_audio_decoder(
     _AUDIO_DECODER = fn
 
 
-def _fake_waveform(payload: bytes, n: int = 2048) -> tuple[np.ndarray, int]:
-    """Deterministic stand-in decode (same doctrine as _fake_pixels)."""
-    digest = hashlib.blake2b(payload, digest_size=8).digest()
-    seed = struct.unpack("<Q", digest)[0]
-    rng = np.random.Generator(np.random.PCG64(seed))
-    return rng.standard_normal(n).astype(np.float32), 16_000
+def _fake_waveform(payload: bytes, n: int = 512) -> tuple[np.ndarray, int]:
+    """Deterministic stand-in decode (same doctrine as _fake_pixels):
+    sample i = (md5_number_lower(payload || ':' || i) mod 2049 - 1024)
+    / 1024 — every value is k/1024, EXACT in float32, so the RMS
+    oracle in DuckDB double arithmetic matches bit-for-bit."""
+    m = np.array(
+        [
+            _md5_lower64(payload + b":" + str(i).encode()) % 2049
+            for i in range(n)
+        ],
+        dtype=np.float64,
+    )
+    return ((m - 1024.0) / 1024.0).astype(np.float32), 16_000
 
 
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
@@ -156,13 +179,16 @@ def audio_features(media: DataFrame) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 wave, rate = decoder(bytes(payload))
-                rms = float(np.sqrt(np.mean(wave**2))) if len(wave) else 0.0
+                # float64 math (float32 accumulation would drift from
+                # the DuckDB double oracle)
+                w64 = np.asarray(wave, dtype=np.float64)
+                rms = float(np.sqrt(np.mean(w64**2))) if len(w64) else 0.0
                 zc = (
-                    float(np.mean(np.abs(np.diff(np.signbit(wave)))))
-                    if len(wave) > 1
+                    float(np.mean(np.abs(np.diff(np.signbit(w64)))))
+                    if len(w64) > 1
                     else 0.0
                 )
-                rows.append((int(mid), rms, zc, len(wave), rate))
+                rows.append((int(mid), rms, zc, len(w64), rate))
             yield pd.DataFrame(
                 rows,
                 columns=[

@@ -355,28 +355,70 @@ def oracles() -> dict[str, str]:
         "CAST(warc_record_length AS STRING)) || '.bin' AS cache_key "
         "FROM ccindex"
     )
-    # PSL eTLD+1: the oracle predicts each synthetic case analytically
-    # (normal rule -> last 2 labels; co.uk/com.au -> last 3; private
-    # suffix github.io -> label+suffix; wildcard *.kawasaki.jp -> the
-    # whole 4-label host; exception !city.kawasaki.jp -> city.kawasaki.jp)
+    # PSL eTLD+1, derived INDEPENDENTLY from the parsed rules table in
+    # SQL (longest-match PSL algorithm: exceptions beat all, then the
+    # longest normal/wildcard rule, then the implicit '*') — not from
+    # the host-synthesis pattern, so a with_registered_domain bug that
+    # tracked the synthesis would still be caught. Rules are the same
+    # publicsuffix.org-format snapshot the engine broadcasts (shared
+    # INPUT data; the derivation is the independent part).
+    from cmoncrawl_spark.functions.psl import parse_psl
     from cmoncrawl_spark.queries import PSL_HOST_SQL
 
+    psl_rule_values = ", ".join(
+        f"('{r}', '{k}')" for r, k in parse_psl()
+    )
+    # with_crawl_ctes opens the WITH itself, so these CTEs chain on
     o["q_registered_domain"] = with_crawl_ctes(
         f"""
+        , psl_rules(rule, kind) AS (VALUES {psl_rule_values}),
+        hosts AS (SELECT psl_host FROM ({PSL_HOST_SQL.strip()})),
+        labs AS (
+          SELECT psl_host,
+                 list_filter(
+                   string_split(
+                     lower(regexp_replace(psl_host, '\\.+$', '')), '.'
+                   ), x -> x <> ''
+                 ) AS labels
+          FROM hosts
+        ),
+        cand AS (
+          SELECT l.psl_host, CAST(t.k AS INT) AS k, r.kind,
+                 len(l.labels) AS n
+          FROM labs l
+          CROSS JOIN range(1, 5) t(k)
+          JOIN psl_rules r
+            ON len(l.labels) >= t.k
+           AND array_to_string(
+                 l.labels[len(l.labels) - t.k + 1 : len(l.labels)], '.'
+               ) = r.rule
+        ),
+        agg AS (
+          SELECT psl_host,
+                 MAX(CASE WHEN kind = 'exception' THEN k END) AS exc_k,
+                 MAX(CASE WHEN kind = 'normal' THEN k END) AS norm_k,
+                 MAX(CASE WHEN kind = 'wildcard' AND n >= k + 1
+                     THEN k + 1 END) AS wild_k
+          FROM cand GROUP BY psl_host
+        ),
+        resolved AS (
+          SELECT l.psl_host, l.labels, len(l.labels) AS n,
+                 COALESCE(
+                   a.exc_k - 1,
+                   GREATEST(1, COALESCE(a.norm_k, 1),
+                            COALESCE(a.wild_k, 1))
+                 ) AS pslen
+          FROM labs l LEFT JOIN agg a USING (psl_host)
+        )
         SELECT registered_domain,
                COUNT(*) AS n_rows,
                COUNT(DISTINCT psl_host) AS n_hosts
         FROM (
           SELECT psl_host,
-                 CASE m
-                   WHEN 0 THEN 'mysite.com'
-                   WHEN 1 THEN 'foo.co.uk'
-                   WHEN 2 THEN 'bar.com.au'
-                   WHEN 3 THEN psl_host
-                   WHEN 4 THEN psl_host
-                   ELSE 'city.kawasaki.jp'
-                 END AS registered_domain
-          FROM ({PSL_HOST_SQL.strip()})
+                 CASE WHEN n > pslen THEN array_to_string(
+                   labels[n - pslen : n], '.'
+                 ) END AS registered_domain
+          FROM resolved
         ) t
         GROUP BY registered_domain
         """
@@ -693,5 +735,47 @@ def oracles() -> dict[str, str]:
                    AS rank
           FROM sims) t
         WHERE rank <= 10
+    """
+    # multimodal fakes: the engine's stand-in decoders are md5-derived
+    # (operators/multimodal.py:_fake_pixels/_fake_waveform), so DuckDB
+    # re-derives the identical pixels/samples from md5_number_lower and
+    # the feature math stays exact in double (integer pixel sums / 64;
+    # audio samples k/1024 with exact squares). synth_media: kind =
+    # image when id%3=0, audio when id%3=1, payload = 'payload-'||id.
+    o["q_image_features"] = """
+        WITH media AS (
+          SELECT id AS media_id,
+                 'payload-' || CAST(id AS VARCHAR) AS payload
+          FROM range(0, 64) t(id) WHERE id % 3 = 0
+        ),
+        px AS (
+          SELECT media_id,
+                 CAST(md5_number_lower(payload || ':' ||
+                      CAST(j AS VARCHAR)) % 256 AS DOUBLE) AS v
+          FROM media CROSS JOIN range(0, 192) r(j)
+          WHERE j % 3 = 0
+        )
+        SELECT media_id, ROUND(AVG(v), 3) AS mean_r
+        FROM px GROUP BY media_id
+    """
+    o["q_audio_features"] = """
+        WITH media AS (
+          SELECT id AS media_id,
+                 'payload-' || CAST(id AS VARCHAR) AS payload
+          FROM range(0, 64) t(id) WHERE id % 3 = 1
+        ),
+        smp AS (
+          SELECT media_id,
+                 (CAST(md5_number_lower(payload || ':' ||
+                       CAST(i AS VARCHAR)) % 2049 AS DOUBLE) - 1024.0)
+                 / 1024.0 AS v
+          FROM media CROSS JOIN range(0, 512) r(i)
+        )
+        SELECT media_id,
+               ROUND(CAST(CAST(SQRT(AVG(v * v)) AS FLOAT) AS DOUBLE), 3)
+                 AS rms_r,
+               CAST(512 AS INT) AS n_samples,
+               CAST(16000 AS INT) AS sample_rate
+        FROM smp GROUP BY media_id
     """
     return o

@@ -525,11 +525,18 @@ def q_rolling_fingerprint(spark, sf_dir):
 
 def q_image_features(spark, sf_dir):
     """Multimodal plumbing: synthetic media -> Arrow-batched feature
-    extraction (decode stubbed; no oracle — binary payloads)."""
+    extraction. The fake decode is md5-derived (pixel byte j =
+    md5_number_lower(payload||':'||j) mod 256), so DuckDB re-derives
+    the identical pixels and the channel-0 mean oracles exactly: the
+    mean is a 64-pixel integer sum / 64 — exact in double AND in the
+    float32 feature column (<= 20 significant bits)."""
     from cmoncrawl_spark.operators.multimodal import image_features, synth_media
 
     return image_features(synth_media(spark, 64)).select(
-        "media_id", F.round(F.element_at("feat_mean", 1), 3).alias("mean_r")
+        "media_id",
+        F.round(F.element_at("feat_mean", 1).cast("double"), 3).alias(
+            "mean_r"
+        ),
     )
 
 
@@ -562,13 +569,16 @@ def q_curation_pipeline(spark, sf_dir):
 
 def q_audio_features(spark, sf_dir):
     """Audio plumbing twin of q_image_features: synthetic media ->
-    Arrow-batched RMS/zero-cross features (decode stubbed; no oracle —
-    binary payloads; pytest pins determinism + pluggable decoder)."""
+    Arrow-batched RMS features. The fake waveform is md5-derived with
+    every sample k/1024 (exact in float32 and double), sums of squares
+    stay exact in double, so the DuckDB oracle reproduces the RMS
+    bit-for-bit (modulo the float32 feature-column cast, which the
+    oracle replicates with CAST(... AS FLOAT))."""
     from cmoncrawl_spark.operators.multimodal import audio_features, synth_media
 
     return audio_features(synth_media(spark, 64)).select(
         "media_id",
-        F.round(F.col("rms"), 3).alias("rms_r"),
+        F.round(F.col("rms").cast("double"), 3).alias("rms_r"),
         "n_samples",
         "sample_rate",
     )

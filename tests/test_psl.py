@@ -160,3 +160,66 @@ def test_registered_domain_malformed_hosts_twin_parity(spark):
     got = {r["host"]: r["registered_domain"] for r in df.collect()}
     for h in hosts:
         assert got[h] == registered_domain_py(h), h
+
+
+def test_psl_table_file_loader_full_list_depths(spark):
+    """VERDICT r3 #5: the one-line deployment swap to the FULL
+    publicsuffix.org list. Loads a bundled representative slice with
+    4- and 5-label rules + the private section from a FILE, and the
+    join ladder sizes itself to the deeper rules; every resolution is
+    cross-checked against the Python twin on the same rules."""
+    import os
+
+    from cmoncrawl_spark.functions.psl import (
+        parse_psl,
+        psl_table,
+        registered_domain_py,
+        rule_max_labels,
+        with_registered_domain,
+    )
+
+    path = os.path.join(
+        os.path.dirname(__file__), "fixtures", "psl_full_slice.dat"
+    )
+    rules = dict(parse_psl(open(path).read()))
+    assert rule_max_labels(rules) == 6  # deeper than the snapshot's 3
+    table = psl_table(spark, path=path)
+
+    hosts = [
+        # full-list ccTLD families the curated snapshot lacks coverage
+        # depth for would mis-group; here they resolve per the slice
+        "shop.co.za",
+        "a.b.shop.co.za",
+        "tienda.com.mx",
+        "x.gob.mx",
+        # 4-label private rule: owner is the label BELOW the suffix
+        "acme.cust.prod.thingdust.io",
+        "deep.acme.cust.prod.thingdust.io",
+        # 5-label rule
+        "me.s3.dualstack.eu-west-1.amazonaws.com.example",
+        # deep wildcard (*.compute... -> 4-label base + 1)
+        "vm1.zone.compute.amazonaws.com.example",
+        "site.vm1.zone.compute.amazonaws.com.example",
+        # exception under wildcard
+        "city.kobe.jp",
+        "x.city.kobe.jp",
+        "a.b.kobe.jp",
+        # public suffixes themselves -> NULL
+        "co.za",
+        "cust.prod.thingdust.io",
+    ]
+    df = with_registered_domain(
+        spark.createDataFrame([(h,) for h in hosts], "host string"),
+        psl=table,
+    )
+    got = {r["host"]: r["registered_domain"] for r in df.collect()}
+    for h in hosts:
+        assert got[h] == registered_domain_py(h, rules), (
+            f"{h}: spark={got[h]!r} twin={registered_domain_py(h, rules)!r}"
+        )
+    # spot-pin the semantics, not just twin agreement
+    assert got["acme.cust.prod.thingdust.io"] == "acme.cust.prod.thingdust.io"
+    assert got["a.b.shop.co.za"] == "shop.co.za"
+    assert got["city.kobe.jp"] == "city.kobe.jp"  # exception
+    assert got["a.b.kobe.jp"] == "a.b.kobe.jp"  # wildcard *.kobe.jp
+    assert got["co.za"] is None
