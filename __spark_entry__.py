@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_keep_longest": q.q_dedup_keep_longest,
         "q_frontier_round": q.q_frontier_round,
         "q_frontier_round_exact": q.q_frontier_round_exact,
+        "q_frontier_round_domain": q.q_frontier_round_domain,
         "q_politeness_budgets": q.q_politeness_budgets,
         "q_fetch_schedule": q.q_fetch_schedule,
         "q_robots_policies": q.q_robots_policies,

@@ -30,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "q_frontier_round",
     "q_frontier_round_exact",
+    "q_frontier_round_domain",
     "q_index_domain",
     "q_url_seen_dedup",
     "q_exact_dedup_docs",

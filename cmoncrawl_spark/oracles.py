@@ -143,6 +143,104 @@ def oracles() -> dict[str, str]:
     """
     o["q_frontier_round"] = with_crawl_ctes(_FRONTIER_ROUND_SQL, frontier=True)
     o["q_frontier_round_exact"] = o["q_frontier_round"]
+    # Domain-politeness flagship variant: same round, but the
+    # politeness key is the PSL registered domain, re-derived in SQL
+    # from the rules table (independent of the engine's broadcast-join
+    # ladder), and policies aggregate to domain level (max budget,
+    # bool_or disallow-all) exactly as queries.q_frontier_round_domain.
+    from cmoncrawl_spark.functions.psl import parse_psl as _parse_psl
+
+    _vals = ", ".join(f"('{r}', '{k}')" for r, k in _parse_psl())
+    o["q_frontier_round_domain"] = with_crawl_ctes(
+        f"""
+        , psl_rules(rule, kind) AS (VALUES {_vals}),
+        _ph AS (
+          SELECT DISTINCT url_host_name AS h FROM pages
+          UNION
+          SELECT DISTINCT host AS h FROM host_policies
+        ),
+        _plab AS (
+          SELECT h,
+                 list_filter(
+                   string_split(
+                     lower(regexp_replace(h, '\\.+$', '')), '.'
+                   ), x -> x <> ''
+                 ) AS labels
+          FROM _ph
+        ),
+        _pcand AS (
+          SELECT l.h, CAST(t.k AS INT) AS k, r.kind, len(l.labels) AS n
+          FROM _plab l
+          CROSS JOIN range(1, 4) t(k)
+          JOIN psl_rules r
+            ON len(l.labels) >= t.k
+           AND array_to_string(
+                 l.labels[len(l.labels) - t.k + 1 : len(l.labels)], '.'
+               ) = r.rule
+        ),
+        _pagg AS (
+          SELECT h,
+                 MAX(CASE WHEN kind = 'exception' THEN k END) AS exc_k,
+                 MAX(CASE WHEN kind = 'normal' THEN k END) AS norm_k,
+                 MAX(CASE WHEN kind = 'wildcard' AND n >= k + 1
+                     THEN k + 1 END) AS wild_k
+          FROM _pcand GROUP BY h
+        ),
+        _pres AS (
+          SELECT l.h, l.labels, len(l.labels) AS n,
+                 COALESCE(a.exc_k - 1,
+                          GREATEST(1, COALESCE(a.norm_k, 1),
+                                   COALESCE(a.wild_k, 1))) AS pslen
+          FROM _plab l LEFT JOIN _pagg a USING (h)
+        ),
+        _psl_map AS (
+          SELECT h, CASE WHEN n > pslen THEN array_to_string(
+                   labels[n - pslen : n], '.'
+                 ) END AS rd
+          FROM _pres
+        ),
+        dpol AS (
+          SELECT coalesce(m.rd, p.host) AS host,
+                 max(p.budget) AS budget,
+                 bool_or(p.robots_disallow_all) AS robots_disallow_all
+          FROM host_policies p LEFT JOIN _psl_map m ON p.host = m.h
+          GROUP BY 1
+        ),
+        cand AS (
+          SELECT pg.url, pg.canonical_expected AS url_id,
+                 coalesce(m.rd, pg.url_host_name) AS host,
+                 pg.depth, pg.priority,
+                 row_number() OVER (
+                   PARTITION BY pg.canonical_expected
+                   ORDER BY pg.depth ASC, pg.priority DESC, pg.url ASC
+                 ) AS rn
+          FROM pages pg LEFT JOIN _psl_map m ON pg.url_host_name = m.h
+        ),
+        dedup AS (
+          SELECT url, url_id, host, depth, priority FROM cand WHERE rn = 1
+        ),
+        unseen AS (
+          SELECT d.* FROM dedup d
+          WHERE d.url_id NOT IN (SELECT url_id FROM seen)
+        ),
+        joined AS (
+          SELECT u.url, u.url_id, u.host, u.depth, u.priority, p.budget
+          FROM unseen u JOIN dpol p ON u.host = p.host
+          WHERE NOT p.robots_disallow_all
+        ),
+        ranked AS (
+          SELECT url, url_id, host, depth, priority, budget,
+                 CAST(row_number() OVER (
+                   PARTITION BY host
+                   ORDER BY depth ASC, priority DESC, url_id ASC
+                 ) AS INT) AS fetch_rank
+          FROM joined
+        )
+        SELECT url, url_id, host, depth, priority, budget, fetch_rank
+        FROM ranked WHERE fetch_rank <= budget
+        """,
+        frontier=True,
+    )
     # robots round-trip: the robots CTE text is synthesized FROM
     # host_policies' formulas, so the parsed policies must reproduce it.
     o["q_robots_policies"] = with_crawl_ctes(

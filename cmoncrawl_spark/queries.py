@@ -288,6 +288,46 @@ def q_frontier_round(spark, sf_dir):
     )
 
 
+def q_frontier_round_domain(spark, sf_dir):
+    """Flagship variant with PSL domain politeness: the politeness key
+    is the registered domain (eTLD+1), so every subdomain of one owner
+    shares one budget — reference F1 DOMAIN semantics
+    (athena_query_maker.py:10-33) applied to scheduling. Policies
+    aggregate to domain level (max budget; a domain is excluded if ANY
+    of its hosts is robots-disallow-all — conservative and
+    deterministic). Costs only the PSL broadcast joins on top of the
+    host-keyed round; the DuckDB oracle re-derives the PSL mapping
+    from the rules table in SQL."""
+    from cmoncrawl_spark.functions.psl import with_registered_domain
+
+    shard_path = prepare_frontier_state(spark, sf_dir)
+    register_crawl_views(spark, sf_dir)
+    frontier = spark.table("pages").select("url", "depth", "priority")
+    pol = spark.table("host_policies").select(
+        "host", "budget", "robots_disallow_all"
+    )
+    dpol = (
+        with_registered_domain(pol, host_col="host", out_col="_rd")
+        .withColumn("host", F.coalesce(F.col("_rd"), F.col("host")))
+        .drop("_rd")
+        .groupBy("host")
+        .agg(
+            F.max("budget").alias("budget"),
+            (
+                F.max(F.col("robots_disallow_all").cast("int")) == 1
+            ).alias("robots_disallow_all"),
+        )
+    )
+    return scheduling_round(
+        frontier,
+        spark.table("seen"),
+        dpol,
+        bloom_shards=spark.read.parquet(shard_path),
+        num_shards=_FRONTIER_SHARDS,
+        domain_politeness=True,
+    )
+
+
 def q_frontier_round_exact(spark, sf_dir):
     """Same round without bloom (pure exact anti-join) — must match."""
     register_crawl_views(spark, sf_dir)
