@@ -561,19 +561,31 @@ def with_registered_domain(
         ],
         "rule string, nrm int, wld int, exc int",
     )
+    # every k probes the SAME broadcast: the build side is the
+    # identical flags subtree for all K joins, so Spark builds ONE
+    # BroadcastExchange and the other K-1 become ReusedExchange —
+    # per-k pre-aliased selects used to force K separate builds.
     for k in range(1, ml + 1):
         suffix_k = F.when(
             n >= k,
             F.concat_ws(".", F.slice(F.col("_psl_labels"), n - F.lit(k - 1), k)),
         )
-        r = flags.select(
-            F.col("rule").alias(f"_psl_sfx{k}"),
-            F.col("nrm").alias(f"_psl_nrm{k}"),
-            F.col("wld").alias(f"_psl_wld{k}"),
-            F.col("exc").alias(f"_psl_exc{k}"),
-        )
-        tmp = tmp.withColumn(f"_psl_sfx{k}", suffix_k).join(
-            F.broadcast(r), on=f"_psl_sfx{k}", how="left"
+        fk = flags.alias(f"_pslr{k}")
+        tmp = (
+            tmp.withColumn(f"_psl_sfx{k}", suffix_k)
+            .join(
+                F.broadcast(fk),
+                F.col(f"_psl_sfx{k}") == F.col(f"_pslr{k}.rule"),
+                "left",
+            )
+            .withColumnsRenamed(
+                {
+                    "rule": f"_psl_rule{k}",
+                    "nrm": f"_psl_nrm{k}",
+                    "wld": f"_psl_wld{k}",
+                    "exc": f"_psl_exc{k}",
+                }
+            )
         )
 
     # public-suffix length: exceptions (longest first) beat all; then
@@ -603,7 +615,8 @@ def with_registered_domain(
     drop = ["_psl_labels", "_psl_n", "_psl_ps"] + [
         c for k in range(1, ml + 1)
         for c in (
-            f"_psl_sfx{k}", f"_psl_nrm{k}", f"_psl_wld{k}", f"_psl_exc{k}"
+            f"_psl_sfx{k}", f"_psl_rule{k}",
+            f"_psl_nrm{k}", f"_psl_wld{k}", f"_psl_exc{k}",
         )
     ]
     return tmp.withColumn(out_col, reg).drop(*drop)

@@ -341,11 +341,11 @@ def connected_components(
     spark = pairs.sparkSession
     id_type = dict(pairs.dtypes)["a"]
     if driver_max_edges > 0:
-        # cheap upper bound: raw pair count (>= distinct undirected
-        # edge count); one count job against the (usually tiny,
-        # often already-materialized) pair frame.
-        n_pairs = pairs.limit(driver_max_edges + 1).count()
-        if n_pairs <= driver_max_edges:
+        # ONE pass decides AND fetches: collect at most limit+1 pairs
+        # (a separate count probe would execute the whole upstream
+        # pair pipeline — LSH + exact verify — twice).
+        head = pairs.select("a", "b").limit(driver_max_edges + 1).collect()
+        if len(head) <= driver_max_edges:
             parent: dict = {}
 
             def find(x):
@@ -356,7 +356,7 @@ def connected_components(
                     parent[x], x = root, parent[x]
                 return root
 
-            for a, b in pairs.select("a", "b").collect():
+            for a, b in head:
                 if a not in parent:
                     parent[a] = a
                 if b not in parent:

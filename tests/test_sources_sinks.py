@@ -206,7 +206,7 @@ def test_audio_features_deterministic_and_shaped(spark):
          for r in audio_features(media.repartition(5)).collect()}
     assert a == b and len(a) == 10  # ids % 3 == 1
     for rms, zcr, n, rate in a.values():
-        assert rms > 0 and 0 <= zcr <= 1 and n == 2048 and rate == 16000
+        assert rms > 0 and 0 <= zcr <= 1 and n == 512 and rate == 16000
 
 
 def test_audio_decoder_pluggable(spark):
