@@ -70,6 +70,12 @@ def _run_trial(sf_dir: str, cpus: int) -> dict:
     q.q_frontier_round(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # same doctrine for the domain-politeness variant: its persisted
+    # policy state + plan compile belong to round 0, not the steady
+    # state the crawl loop repeats.
+    q.q_frontier_round_domain(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:
