@@ -15,6 +15,13 @@ the best estimate of the plan's true cost on this hardware — and every
 sample is kept in "samples" so the spread is visible, not hidden.
 Same protocol as scaling_bench.py (the N-vs-4N scaling-efficiency
 evidence lives there).
+
+Idle gate (round-5): each trial is launched only after the host's CPU
+busy-fraction drops below $SPARK_GRAFT_BENCH_BUSY_MAX (default 0.10),
+waiting up to $SPARK_GRAFT_BENCH_GATE_S (default 180 s) per trial —
+the same gate .bench_sample.py uses for scaling samples. The busy
+fraction observed at each trial's launch is disclosed in
+"window_busy" so every sample carries its window's load context.
 """
 
 from __future__ import annotations
@@ -108,6 +115,33 @@ def _run_trial(sf_dir: str, cpus: int) -> dict:
     return per_query
 
 
+def _cpu_busy_frac(dt: float = 1.0) -> float:
+    """Host-wide CPU busy fraction over a dt-second window (/proc/stat)."""
+
+    def snap():
+        parts = open("/proc/stat").readline().split()[1:]
+        vals = [int(x) for x in parts]
+        idle = vals[3] + vals[4]  # idle + iowait
+        return idle, sum(vals)
+
+    i0, t0 = snap()
+    time.sleep(dt)
+    i1, t1 = snap()
+    return 1.0 - (i1 - i0) / max(t1 - t0, 1)
+
+
+def _wait_for_quiet_window() -> float:
+    """Block (bounded) until the host looks idle; return the busy
+    fraction observed when we give the go — disclosed per trial."""
+    busy_max = float(os.environ.get("SPARK_GRAFT_BENCH_BUSY_MAX", "0.10"))
+    gate_s = float(os.environ.get("SPARK_GRAFT_BENCH_GATE_S", "180"))
+    deadline = time.monotonic() + gate_s
+    busy = _cpu_busy_frac()
+    while busy > busy_max and time.monotonic() < deadline:
+        busy = _cpu_busy_frac()
+    return round(busy, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -118,7 +152,9 @@ def main() -> None:
 
     trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
     runs: list[dict] = []
+    window_busy: list[float] = []
     for _ in range(trials):
+        window_busy.append(_wait_for_quiet_window())
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker"],
             capture_output=True,
@@ -147,8 +183,9 @@ def main() -> None:
         "urls_per_sec": round(n_urls / per_query["q_frontier_round"], 1),
         "queries": per_query,
         "samples": samples,
+        "window_busy": window_busy,
         "trials": trials,
-        "protocol": "min over fresh-JVM subprocess trials",
+        "protocol": "min over idle-gated fresh-JVM subprocess trials",
         "sf": sf,
     }
     print(json.dumps(out))

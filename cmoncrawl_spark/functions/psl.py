@@ -548,18 +548,23 @@ def with_registered_domain(
     # several kinds (e.g. 'foo.bar' + '*.foo.bar' in a full list) and
     # a per-kind row table would DUPLICATE every matching host row in
     # the join. Flags fold driver-side (tiny), so the broadcast side
-    # stays exchange-free.
+    # stays exchange-free. The three kind flags pack into ONE bitmask
+    # column (1=normal, 2=wildcard, 4=exception) so that column
+    # pruning projects the IDENTICAL [rule, fl] build side for every
+    # rung of the ladder — per-kind columns let Catalyst prune a
+    # different subset per k (k=1 never reads exc), which splits the
+    # shared build into K separate BroadcastExchanges.
     flags = df.sparkSession.createDataFrame(
         [
             (
                 r,
-                int(_KIND_NORMAL in s),
-                int(_KIND_WILDCARD in s),
-                int(_KIND_EXCEPTION in s),
+                int(_KIND_NORMAL in s)
+                + 2 * int(_KIND_WILDCARD in s)
+                + 4 * int(_KIND_EXCEPTION in s),
             )
             for r, s in kinds.items()
         ],
-        "rule string, nrm int, wld int, exc int",
+        "rule string, fl int",
     )
     # every k probes the SAME broadcast: the build side is the
     # identical flags subtree for all K joins, so Spark builds ONE
@@ -571,32 +576,37 @@ def with_registered_domain(
             F.concat_ws(".", F.slice(F.col("_psl_labels"), n - F.lit(k - 1), k)),
         )
         fk = flags.alias(f"_pslr{k}")
-        tmp = (
-            tmp.withColumn(f"_psl_sfx{k}", suffix_k)
-            .join(
-                F.broadcast(fk),
-                F.col(f"_psl_sfx{k}") == F.col(f"_pslr{k}.rule"),
-                "left",
-            )
-            .withColumnsRenamed(
-                {
-                    "rule": f"_psl_rule{k}",
-                    "nrm": f"_psl_nrm{k}",
-                    "wld": f"_psl_wld{k}",
-                    "exc": f"_psl_exc{k}",
-                }
-            )
+        # Projection with QUALIFIED refs above the join — never a
+        # rename: withColumnsRenamed would hijack any input column the
+        # user happens to call rule/nrm/wld/exc. The projection sits
+        # above the join (not on the build side), so the build subtree
+        # stays the identical `flags` frame for every k and Spark still
+        # plans ONE BroadcastExchange + K-1 ReusedExchange.
+        lk = tmp.withColumn(f"_psl_sfx{k}", suffix_k).alias(f"_psll{k}")
+        tmp = lk.join(
+            F.broadcast(fk),
+            F.col(f"_psll{k}._psl_sfx{k}") == F.col(f"_pslr{k}.rule"),
+            "left",
+        ).select(
+            lk["*"],
+            F.col(f"_pslr{k}.fl").alias(f"_psl_fl{k}"),
         )
 
     # public-suffix length: exceptions (longest first) beat all; then
     # the longest normal/wildcard match; then the implicit '*' rule.
     cases: list[tuple[Column, int]] = []
+
+    def _bit(k: int, mask: int) -> Column:
+        # NULL fl (no rule matched) stays NULL -> CASE falls through,
+        # same as the per-column flags did
+        return F.col(f"_psl_fl{k}").bitwiseAND(F.lit(mask)) != 0
+
     for k in range(ml, 1, -1):  # exception at k -> ps k-1
-        cases.append(((F.col(f"_psl_exc{k}") == 1), k - 1))
+        cases.append((_bit(k, 4), k - 1))
     for k in range(ml, 0, -1):  # longest effective match
         # a wildcard base of length k acts as a rule of length k+1
-        cases.append(((F.col(f"_psl_wld{k}") == 1) & (n >= k + 1), k + 1))
-        cases.append(((F.col(f"_psl_nrm{k}") == 1), k))
+        cases.append((_bit(k, 2) & (n >= k + 1), k + 1))
+        cases.append((_bit(k, 1), k))
     expr = F.lit(1)  # implicit '*'
     for cond, val in reversed(cases):
         expr = F.when(cond, F.lit(val)).otherwise(expr)
@@ -614,9 +624,6 @@ def with_registered_domain(
     )
     drop = ["_psl_labels", "_psl_n", "_psl_ps"] + [
         c for k in range(1, ml + 1)
-        for c in (
-            f"_psl_sfx{k}", f"_psl_rule{k}",
-            f"_psl_nrm{k}", f"_psl_wld{k}", f"_psl_exc{k}",
-        )
+        for c in (f"_psl_sfx{k}", f"_psl_fl{k}")
     ]
     return tmp.withColumn(out_col, reg).drop(*drop)

@@ -293,7 +293,7 @@ def connected_components(
     max_iters: int = 50,
     check_every: int = 3,
     stats: dict | None = None,
-    driver_max_edges: int = 1_000_000,
+    driver_max_edges: int = 200_000,
 ) -> DataFrame:
     """Connected components over an undirected pair graph — the step
     that turns near-dup PAIRS into dedup CLUSTERS (keep one per
@@ -324,12 +324,22 @@ def connected_components(
     Small-graph fast path: the verified near-dup pair graph is SPARSE
     (a tiny fraction of the corpus pairs up), so when it has at most
     ``driver_max_edges`` edges the components come from a driver-side
-    union-find — O(E α(E)) in one collect (1M edges ≈ 16 MB), instead
-    of ~6 distributed join jobs whose fixed scheduling cost dwarfs the
-    work. Same labels (component = min id, path-compressed), same
-    determinism. Graphs above the threshold — the 10^10-URL-frontier
-    case — run the distributed loop; set ``driver_max_edges=0`` to
-    force it (the iteration-count tests do).
+    union-find — O(E α(E)) in one collect, instead of ~6 distributed
+    join jobs whose fixed scheduling cost dwarfs the work. Same labels
+    (component = min id, path-compressed), same determinism. DRIVER
+    MEMORY SIZING: each collected edge is a Python Row plus two
+    union-find dict entries — ~1-2 KB of Python objects per edge, NOT
+    the 16 bytes of raw longs — so the 200k default costs the driver
+    ~200-400 MB transiently, safe at the 1g default driver heap; raise
+    the threshold only with driver memory to match (~1-2 GB per extra
+    million edges). Graphs above the threshold — the 10^10-URL-
+    frontier case — run the distributed loop; set
+    ``driver_max_edges=0`` to force it (the iteration-count tests do).
+    When the threshold check is in play, ``pairs`` is persisted here
+    (and unpersisted before returning) so an over-threshold graph does
+    NOT recompute the expensive upstream pair pipeline (LSH + exact
+    verify) for the distributed loop's edge materialization — the
+    probe and the loop read the same cached pairs.
 
     Non-convergence is an ERROR, not a silent wrong answer: if labels
     are still changing after ``max_iters`` (diameter > max_iters), the
@@ -340,12 +350,25 @@ def connected_components(
     """
     spark = pairs.sparkSession
     id_type = dict(pairs.dtypes)["a"]
+    persisted_here = False
     if driver_max_edges > 0:
+        # Persist before the probe unless the caller already did: the
+        # limit+1 collect below executes the upstream pair pipeline,
+        # and when the graph turns out to be over-threshold the
+        # distributed loop's edge materialization would otherwise run
+        # that pipeline a second time.
+        if not (
+            pairs.storageLevel.useMemory or pairs.storageLevel.useDisk
+        ):
+            pairs = pairs.persist()
+            persisted_here = True
         # ONE pass decides AND fetches: collect at most limit+1 pairs
         # (a separate count probe would execute the whole upstream
         # pair pipeline — LSH + exact verify — twice).
         head = pairs.select("a", "b").limit(driver_max_edges + 1).collect()
         if len(head) <= driver_max_edges:
+            if persisted_here:
+                pairs.unpersist()
             parent: dict = {}
 
             def find(x):
@@ -382,6 +405,10 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if persisted_here:
+        # edges is materialized; the cached pairs served both the
+        # probe and the edge build and are no longer needed.
+        pairs.unpersist()
     labels = (
         edges.select(F.col("u").alias("id"))
         .distinct()

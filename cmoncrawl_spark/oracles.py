@@ -460,12 +460,22 @@ def oracles() -> dict[str, str]:
     # tracked the synthesis would still be caught. Rules are the same
     # publicsuffix.org-format snapshot the engine broadcasts (shared
     # INPUT data; the derivation is the independent part).
-    from cmoncrawl_spark.functions.psl import parse_psl
+    from cmoncrawl_spark.functions.psl import (
+        _kind_map,
+        parse_psl,
+        rule_max_labels,
+    )
     from cmoncrawl_spark.queries import PSL_HOST_SQL
 
+    psl_rules = parse_psl()
     psl_rule_values = ", ".join(
-        f"('{r}', '{k}')" for r, k in parse_psl()
+        f"('{r}', '{k}')" for r, k in psl_rules
     )
+    # Probe depth derives from the deepest rule in the table (same
+    # self-sizing as the engine's join ladder) — a hardcoded bound
+    # would silently under-match if the oracle were pointed at a full
+    # list with 5-label rules. range() is exclusive at the top.
+    psl_probe_hi = rule_max_labels(_kind_map(psl_rules)) + 1
     # with_crawl_ctes opens the WITH itself, so these CTEs chain on
     o["q_registered_domain"] = with_crawl_ctes(
         f"""
@@ -484,7 +494,7 @@ def oracles() -> dict[str, str]:
           SELECT l.psl_host, CAST(t.k AS INT) AS k, r.kind,
                  len(l.labels) AS n
           FROM labs l
-          CROSS JOIN range(1, 5) t(k)
+          CROSS JOIN range(1, {psl_probe_hi}) t(k)
           JOIN psl_rules r
             ON len(l.labels) >= t.k
            AND array_to_string(

@@ -63,14 +63,32 @@ def write_html_files(df: DataFrame, path: str, url_col: str = "url") -> None:
     dirs in the table listing). ``path`` must be storage every
     executor can reach (shared/NFS mount locally, fuse-mounted object
     store on a cluster); duplicate names overwrite, matching the
-    reference's single-directory behavior. The target directory is
-    cleared first (overwrite semantics, like the old partitioned
-    write) so stale files from a previous run never linger.
-    """
-    import shutil
+    reference's single-directory behavior.
 
-    shutil.rmtree(path, ignore_errors=True)
+    Overwrite semantics are GUARDED: stale ``*.html`` files from a
+    previous run are removed first, but only when the directory is
+    empty, absent, or carries the sink's marker file (written on every
+    run) — a mistyped ``path`` pointing at an unrelated directory
+    raises instead of silently destroying it, and removal errors
+    surface (no ``ignore_errors``) so "stale files linger despite the
+    overwrite contract" can't happen silently.
+    """
+    marker = os.path.join(path, ".cmoncrawl_html_sink")
+    if os.path.isdir(path):
+        entries = os.listdir(path)
+        if entries and not os.path.exists(marker):
+            raise ValueError(
+                f"write_html_files: refusing to overwrite non-empty "
+                f"directory {path!r} that was not written by this sink "
+                "(no .cmoncrawl_html_sink marker); choose an empty or "
+                "sink-owned directory"
+            )
+        for entry in entries:
+            if entry.endswith(".html"):
+                os.remove(os.path.join(path, entry))
     os.makedirs(path, exist_ok=True)
+    with open(marker, "w", encoding="utf-8") as f:
+        f.write("")
     named = df.select(
         F.substring(F.translate(F.col(url_col), "/", "_"), 1, 100).alias(
             "name"

@@ -8,17 +8,24 @@ throttled globally (<= max_requests_per_second, common/throttling.py:
 109-184). Users whose crawl is NOT yet in a ccindex table need this
 path; everyone else uses the table scan (operators/ccindex.py).
 
-Spark-first shape:
-- ``num_pages`` probes run DRIVER-side (one tiny request per (url,
-  crawl) — O(queries), not O(records));
-- the (url, page) work-list becomes a DataFrame and the page fetches
-  run in ``mapInPandas`` partitions — the distributed analog of the
-  reference's asyncio prefetch pool, with per-task rate limiting
-  (set ``max_requests_per_second`` to global_target / expected
-  concurrent tasks: rate is enforced per task, the cluster-wide rate
-  is the sum — same contract as the reference's per-process limit
-  under `--n_proc`, README.md:141-148);
-- records parse JVM-side afterwards (compact-timestamp decode).
+Spark-first shape — TWO executor-side ``mapInPandas`` stages
+(see ``cdx_records`` for the authoritative walkthrough):
+1. a PROBE stage fans the tiny ``showNumPages`` requests across
+   executors (one per (url, crawl) pair, degrading per-URL on
+   404/failure instead of failing the job), emitting the (url, page)
+   work-list as a DataFrame;
+2. a FETCH stage explodes that work-list and pulls ndjson record
+   pages in ``mapInPandas`` partitions — the distributed analog of
+   the reference's asyncio prefetch pool;
+3. records parse JVM-side afterwards (compact-timestamp decode).
+
+Rate limiting is PER TASK in BOTH stages: the cluster-wide request
+rate is ``max_requests_per_second`` × concurrent tasks, and because
+the probe stage issues its own throttled requests the effective
+global rate during probing adds on top of fetching. Size
+``max_requests_per_second`` as global_target / expected concurrent
+tasks across both stages — same contract as the reference's
+per-process limit under ``--n_proc`` (README.md:141-148).
 
 Everything is injected: ``client`` is any callable
 ``(url, params: dict) -> (status: int, body: bytes)`` — stdlib urllib

@@ -58,6 +58,16 @@ def canonical_request(
 
     The canonical URI is the path double-encoded except '/' (S3 rule:
     S3 uses single URI-encoding); query params sorted & encoded.
+
+    CONTRACT: ``url`` must be percent-ENCODED (the decode-once-then-
+    re-encode below is what makes signing correct for keys containing
+    escaped characters). The flip side is inherent to that ambiguity:
+    an UNencoded key whose raw name literally contains a valid escape
+    (an object actually named ``report%2Fv1``) would be decoded and
+    signed as ``report/v1``. Callers must pre-encode such keys
+    (``report%252Fv1``) — the same one-decode choice
+    ``functions/urls.py`` makes for URL canonicalization, so one rule
+    holds engine-wide.
     """
     parts = urlsplit(url)
     # S3-style: encode each path segment exactly once, keep '/'. The

@@ -405,3 +405,38 @@ def test_connected_components_driver_fastpath_matches_distributed(spark):
     assert s_fast["mode"] == "driver_union_find"
     assert s_dist["mode"] == "distributed"
     assert fast == dist
+
+
+def test_connected_components_overthreshold_no_pair_recompute(spark):
+    """ADVICE r4: when the graph exceeds driver_max_edges, the
+    limit-probe used to execute the upstream pair pipeline once and
+    the distributed loop's edge build executed it AGAIN. pairs is now
+    persisted around the probe, so a full second pass never happens:
+    with N edges and threshold t << N, upstream evaluations stay well
+    under 2N (probe reads <= a few partial partitions from cache-
+    misses; the edge build's full pass populates/reads the cache)."""
+    from pyspark.sql import functions as F
+
+    from cmoncrawl_spark.operators.dedup import connected_components
+
+    n = 400
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("long")
+    def tick(x):
+        acc.add(1)
+        return x
+
+    base = spark.range(n).repartition(4)
+    pairs = base.select(
+        tick(F.col("id")).alias("a"), (F.col("id") + 1000).alias("b")
+    )
+    stats: dict = {}
+    comp = connected_components(pairs, stats=stats, driver_max_edges=20)
+    rows = comp.count()
+    assert stats["mode"] == "distributed"
+    assert rows == 2 * n  # n disjoint 2-node components
+    # one full pass (n) + the bounded probe (< n); a recompute of the
+    # full pipeline would push this to ~2n
+    assert acc.value < 2 * n, acc.value
+    assert acc.value >= n

@@ -223,3 +223,42 @@ def test_psl_table_file_loader_full_list_depths(spark):
     assert got["city.kobe.jp"] == "city.kobe.jp"  # exception
     assert got["a.b.kobe.jp"] == "a.b.kobe.jp"  # wildcard *.kobe.jp
     assert got["co.za"] is None
+
+
+def test_with_registered_domain_preserves_conflicting_column_names(spark):
+    """Regression (ADVICE r4): input columns literally named
+    rule/nrm/wld/exc must survive untouched — the old
+    withColumnsRenamed after each ladder join hijacked them into
+    internal _psl_* names and dropped them."""
+    df = spark.createDataFrame(
+        [("foo.co.uk", "my-rule", 7, "w", 3.5)],
+        "host string, rule string, nrm int, wld string, exc double",
+    )
+    out = with_registered_domain(df)
+    assert set(out.columns) == {
+        "host", "rule", "nrm", "wld", "exc", "registered_domain"
+    }
+    row = out.collect()[0]
+    assert row["rule"] == "my-rule"
+    assert row["nrm"] == 7
+    assert row["wld"] == "w"
+    assert row["exc"] == 3.5
+    assert row["registered_domain"] == "foo.co.uk"
+
+
+def test_with_registered_domain_single_broadcast_build(spark):
+    """The ladder's K joins must share ONE BroadcastExchange (K-1
+    planned as ReusedExchange) — the qualified-projection rewrite may
+    not regress the shared-build property. Reuse is decided by AQE at
+    runtime, so execute first and read the FINAL adaptive plan (the
+    toString appends the initial plan after an '== Initial Plan =='
+    marker — only the section before it is what ran)."""
+    df = spark.createDataFrame([("a.b.foo.co.uk",)], "host string")
+    out = with_registered_domain(df)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    n_reused = final.count("ReusedExchange")
+    n_builds = final.count("BroadcastExchange") - n_reused
+    assert n_builds == 1, final
+    assert n_reused >= 2, final  # bundled snapshot plans K=3 rungs

@@ -121,7 +121,7 @@ def test_html_sink_file_per_record_no_partition_dirs(spark, tmp_path):
     )
     out = str(tmp_path / "html_out")
     write_html_files(df, out)
-    entries = os.listdir(out)
+    entries = [e for e in os.listdir(out) if not e.startswith(".")]
     assert len(entries) == n
     assert all(e.endswith(".html") for e in entries)
     assert not any(os.path.isdir(os.path.join(out, e)) for e in entries)
@@ -265,7 +265,39 @@ def test_write_html_files_clears_stale_output(spark, tmp_path):
         [("http://b/y", "<p>new</p>")], "url string, html string"
     )
     write_html_files(df2, out)
-    files = sorted(os.listdir(out))
+    files = sorted(f for f in os.listdir(out) if f.endswith(".html"))
     assert files == ["http:__b_y.html"]
     with open(os.path.join(out, files[0])) as f:
         assert f.read() == "<p>new</p>"
+
+
+def test_write_html_files_refuses_foreign_directory(spark, tmp_path):
+    """Overwrite guard (ADVICE r4): a non-empty directory without the
+    sink marker is NOT wiped — the sink raises instead of destroying
+    unrelated files; empty and sink-owned directories still work."""
+    import os
+
+    import pytest as _pytest
+
+    from cmoncrawl_spark.sinks.jsonl import write_html_files
+
+    df = spark.createDataFrame(
+        [("http://a/x", "<p>a</p>")], "url string, html string"
+    )
+    foreign = tmp_path / "precious"
+    foreign.mkdir()
+    (foreign / "notes.txt").write_text("do not delete")
+    with _pytest.raises(ValueError, match="refusing to overwrite"):
+        write_html_files(df, str(foreign))
+    assert (foreign / "notes.txt").read_text() == "do not delete"
+
+    # empty directory: allowed, and non-html files survive reruns
+    out = tmp_path / "ok"
+    out.mkdir()
+    write_html_files(df, str(out))
+    (out / "side.txt").write_text("kept")
+    write_html_files(df, str(out))
+    assert (out / "side.txt").read_text() == "kept"
+    assert sorted(f for f in os.listdir(out) if f.endswith(".html")) == [
+        "http:__a_x.html"
+    ]
