@@ -166,6 +166,71 @@ def run_download(args: argparse.Namespace) -> None:
     print(f"wrote {args.output}")
 
 
+# ------------------------------------------------------------------ crawl
+
+
+def run_crawl(args: argparse.Namespace) -> None:
+    """Composed live pipeline, ONE Spark job graph: CDX gateway
+    discovery -> frontier scheduling round (canonicalize, dedupe,
+    politeness budget, per-host top-k) -> crawl-delay-spaced fetch
+    schedule -> rotated JSONL sink.
+
+    This is the engine's analog of the reference's `cmon download`
+    composition (integrations/download.py:282-332: query the index,
+    throttle per host, stream to the sink) re-expressed frontier-first
+    per the north_rule: discovery feeds a scheduling round instead of
+    an async fetch pool, and politeness is an explicit budget +
+    fetch_offset_ms column rather than a runtime sleep."""
+    spark = _spark("cmon-crawl")
+    from cmoncrawl_spark.functions.urls import host_of
+    from cmoncrawl_spark.operators.frontier import (
+        fetch_schedule,
+        scheduling_round,
+    )
+    from cmoncrawl_spark.sources.gateway import cdx_records
+
+    live = cdx_records(
+        spark,
+        args.cdx_server,
+        args.urls,
+        match_type=args.match_type,
+        max_requests_per_second=args.max_requests_per_second,
+    )
+    frontier = (
+        live.select("url")
+        .distinct()
+        .withColumn("depth", F.lit(0))
+        .withColumn("priority", F.lit(1.0))
+    )
+    if args.seen_dir:
+        seen = spark.read.parquet(args.seen_dir).select("url_id")
+    else:
+        seen = spark.createDataFrame([], "url_id string")
+    hosts = frontier.select(
+        host_of(F.col("url")).alias("host")
+    ).distinct()
+    policies = hosts.select(
+        "host",
+        F.lit(args.budget).cast("int").alias("budget"),
+        F.lit(False).alias("robots_disallow_all"),
+        F.lit(float(args.crawl_delay)).alias("crawl_delay_s"),
+    )
+    sched = scheduling_round(
+        frontier,
+        seen,
+        policies.drop("crawl_delay_s"),
+        domain_politeness=args.domain_politeness,
+        budget_cap=args.budget,
+    )
+    out = fetch_schedule(
+        sched,
+        policies.select("host", "crawl_delay_s"),
+        default_delay=float(args.crawl_delay),
+    )
+    _write_jsonl(out, args.output, args.max_crawls_per_file)
+    print(f"wrote {args.output}")
+
+
 # ------------------------------------------------------------------ extract
 
 
@@ -271,6 +336,30 @@ def build_parser() -> argparse.ArgumentParser:
         "CC-MAIN-2023-14-index); bypasses --table_dir",
     )
     d.set_defaults(func=run_download)
+
+    c = sub.add_parser(
+        "crawl",
+        help="Live CDX discovery -> scheduling round -> fetch schedule",
+    )
+    c.add_argument("output")
+    c.add_argument("urls", nargs="+")
+    c.add_argument("--cdx_server", required=True)
+    c.add_argument(
+        "--match_type",
+        default="domain",
+        choices=["exact", "prefix", "host", "domain"],
+    )
+    c.add_argument("--budget", type=int, default=5,
+                   help="per-host fetches per round")
+    c.add_argument("--crawl_delay", type=float, default=1.0,
+                   help="seconds between fetches of one host")
+    c.add_argument("--domain_politeness", action="store_true",
+                   help="politeness key = PSL registered domain")
+    c.add_argument("--seen_dir", default=None,
+                   help="parquet dir of already-seen url_ids")
+    c.add_argument("--max_requests_per_second", type=float, default=10.0)
+    c.add_argument("--max_crawls_per_file", type=int, default=500_000)
+    c.set_defaults(func=run_crawl)
 
     e = sub.add_parser("extract", help="Extract fields from records/html")
     e.add_argument("config")

@@ -27,6 +27,8 @@ Python twin used for golden vectors and differential tests.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -396,6 +398,47 @@ _KIND_WILDCARD = "wildcard"  # stored WITHOUT the '*.' (the base)
 _KIND_EXCEPTION = "exception"  # stored WITHOUT the '!'
 
 
+#: Bundled FULL publicsuffix.org snapshot (MPL-2.0 public data,
+#: ~9.5k rules) — the engine's default rule source. The curated
+#: PSL_SNAPSHOT above remains the fallback when the data file is
+#: absent (e.g. a --py-files zip that shipped only .py sources).
+FULL_PSL_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "..", "data", "public_suffix_list.dat",
+)
+
+
+def default_psl_source() -> tuple[str | None, str]:
+    """(path, text) of the default rule source, in priority order:
+    ``$CMONCRAWL_PSL_FILE`` (deployment override) > the bundled full
+    publicsuffix.org list > the curated in-module snapshot (path
+    ``None``). Every default-rules consumer — the broadcast ladder,
+    the Python twin, the DuckDB oracles — resolves through here, so
+    they can never disagree about which rule set is in force."""
+    path = os.environ.get("CMONCRAWL_PSL_FILE") or (
+        FULL_PSL_PATH if os.path.exists(FULL_PSL_PATH) else None
+    )
+    if path:
+        with open(path, encoding="utf-8") as f:
+            return os.path.abspath(path), f.read()
+    return None, PSL_SNAPSHOT
+
+
+_DEFAULT_RULES: tuple[str | None, list] | None = None
+
+
+def default_psl_rules() -> list[tuple[str, str]]:
+    """Parsed default rules, cached per process (per source path)."""
+    global _DEFAULT_RULES
+    path = os.environ.get("CMONCRAWL_PSL_FILE") or (
+        FULL_PSL_PATH if os.path.exists(FULL_PSL_PATH) else None
+    )
+    if _DEFAULT_RULES is None or _DEFAULT_RULES[0] != path:
+        _, text = default_psl_source()
+        _DEFAULT_RULES = (path, parse_psl(text))
+    return _DEFAULT_RULES[1]
+
+
 def parse_psl(text: str = PSL_SNAPSHOT) -> list[tuple[str, str]]:
     """(rule, kind) tuples from publicsuffix.org-format text."""
     rules: list[tuple[str, str]] = []
@@ -422,20 +465,24 @@ def rule_max_labels(rules) -> int:
 
 def psl_table(
     spark: SparkSession,
-    text: str = PSL_SNAPSHOT,
+    text: str | None = None,
     path: str | None = None,
 ) -> DataFrame:
     """The broadcastable rule table: (rule string, kind string).
 
-    Deployment swap for the FULL public suffix list (~10k rules) is
-    one line: ``psl_table(spark, path="/path/to/public_suffix_list.dat")``
-    — any publicsuffix.org-format text loads; deeper-than-4-label
-    rules are handled because :func:`with_registered_domain` sizes its
-    join ladder from the rule table itself.
+    With no arguments this loads the DEFAULT source — the bundled
+    full publicsuffix.org snapshot (~9.5k rules), or
+    ``$CMONCRAWL_PSL_FILE`` when set (:func:`default_psl_source`).
+    Any publicsuffix.org-format ``text`` or file ``path`` also loads;
+    arbitrarily deep rules are handled because
+    :func:`with_registered_domain` sizes its join ladder from the
+    rule table itself.
     """
     if path is not None:
         with open(path, encoding="utf-8") as f:
             text = f.read()
+    elif text is None:
+        _, text = default_psl_source()
     return spark.createDataFrame(parse_psl(text), "rule string, kind string")
 
 
@@ -488,7 +535,7 @@ def registered_domain_py(host: str | None, rules=None) -> str | None:
     if not host:
         return None
     if rules is None:
-        rules = parse_psl()
+        rules = default_psl_rules()
     labels = [l for l in host.lower().rstrip(".").split(".") if l]
     ps = _suffix_len_py(labels, rules)
     if len(labels) <= ps:
@@ -519,7 +566,7 @@ def with_registered_domain(
     pass ``max_rule_labels`` to skip it.
     """
     if psl is None:
-        rules_list = parse_psl()
+        rules_list = default_psl_rules()
     else:
         # the rule table is tiny broadcast state (~10k rows for the
         # full list); pulling it to the driver once at plan
@@ -531,17 +578,26 @@ def with_registered_domain(
         if max_rule_labels is not None
         else rule_max_labels(kinds)
     )
-    # Drop repeated trailing dots AND empty labels so malformed hosts
-    # ('a..co.uk', 'foo.co.uk..') resolve identically to the Python
-    # twin, which filters empty labels (registered_domain_py).
-    labels = F.filter(
-        F.split(
-            F.regexp_replace(F.lower(F.col(host_col)), r"\.+$", ""), r"\."
-        ),
-        lambda x: x != "",
+    # Normalize WITHOUT an array: lowercase, strip leading/trailing
+    # dots, collapse runs of dots — exactly equivalent to the Python
+    # twin's "filter empty labels" (registered_domain_py), but the
+    # row stays ONE string. The round-4 plan built a label ARRAY per
+    # row (split + lambda filter) and then K sliced-concat strings —
+    # measured at ~0.5 µs/URL extra per scheduling round at 19.2M
+    # URLs (domain_ab_bench). substring_index over the cleaned string
+    # is a single backward scan per rung, no allocs.
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(host_col)), r"^\.+|\.+$", ""),
+        r"\.{2,}",
+        ".",
     )
-    tmp = df.withColumn("_psl_labels", labels).withColumn(
-        "_psl_n", F.size("_psl_labels")
+    tmp = df.withColumn("_psl_host", cleaned).withColumn(
+        "_psl_n",
+        F.when(F.col("_psl_host") == "", F.lit(0)).otherwise(
+            F.length("_psl_host")
+            - F.length(F.translate(F.col("_psl_host"), ".", ""))
+            + F.lit(1)
+        ),
     )
     n = F.col("_psl_n")
     # ONE row per rule string with kind flags: the same base can carry
@@ -549,33 +605,40 @@ def with_registered_domain(
     # a per-kind row table would DUPLICATE every matching host row in
     # the join. Flags fold driver-side (tiny), so the broadcast side
     # stays exchange-free. The three kind flags pack into ONE bitmask
-    # column (1=normal, 2=wildcard, 4=exception) so that column
-    # pruning projects the IDENTICAL [rule, fl] build side for every
-    # rung of the ladder — per-kind columns let Catalyst prune a
-    # different subset per k (k=1 never reads exc), which splits the
-    # shared build into K separate BroadcastExchanges.
-    flags = df.sparkSession.createDataFrame(
-        [
-            (
-                r,
-                int(_KIND_NORMAL in s)
-                + 2 * int(_KIND_WILDCARD in s)
-                + 4 * int(_KIND_EXCEPTION in s),
-            )
-            for r, s in kinds.items()
-        ],
-        "rule string, fl int",
-    )
-    # every k probes the SAME broadcast: the build side is the
-    # identical flags subtree for all K joins, so Spark builds ONE
-    # BroadcastExchange and the other K-1 become ReusedExchange —
-    # per-k pre-aliased selects used to force K separate builds.
-    for k in range(1, ml + 1):
-        suffix_k = F.when(
-            n >= k,
-            F.concat_ws(".", F.slice(F.col("_psl_labels"), n - F.lit(k - 1), k)),
+    # column (1=normal, 2=wildcard, 4=exception).
+    #
+    # Rung k probes a DEPTH-FILTERED broadcast: a k-label suffix can
+    # only ever equal a rule with exactly k labels (dot counts must
+    # agree), so each rung's build side holds only that depth's rules.
+    # Round 4 shared ONE BroadcastExchange across all rungs (K-1
+    # ReusedExchange); with the full ~9.5k-rule list that meant every
+    # rung hashing into one ~MB map — measured +2.6 s per 19.2M-URL
+    # scheduling round vs the 192-rule curated list (domain_profile,
+    # round 5). K per-depth builds are each trivial (largest depth
+    # ~7k rows, depths 3-5 a few hundred) and the hot rungs probe
+    # L1/L2-resident maps; identical output by the dot-count argument.
+    by_depth: dict[int, list[tuple[str, int]]] = {}
+    for r, s in kinds.items():
+        fl = (
+            int(_KIND_NORMAL in s)
+            + 2 * int(_KIND_WILDCARD in s)
+            + 4 * int(_KIND_EXCEPTION in s)
         )
-        fk = flags.alias(f"_pslr{k}")
+        by_depth.setdefault(r.count(".") + 1, []).append((r, fl))
+    for k in range(1, ml + 1):
+        if k not in by_depth:
+            # no rule at this depth: the rung's flag column is NULL
+            # everywhere — same fall-through the CASE already takes
+            tmp = tmp.withColumn(
+                f"_psl_fl{k}", F.lit(None).cast("int")
+            )
+            continue
+        suffix_k = F.when(
+            n >= k, F.substring_index(F.col("_psl_host"), ".", -k)
+        )
+        fk = df.sparkSession.createDataFrame(
+            by_depth[k], "rule string, fl int"
+        ).alias(f"_pslr{k}")
         # Projection with QUALIFIED refs above the join — never a
         # rename: withColumnsRenamed would hijack any input column the
         # user happens to call rule/nrm/wld/exc. The projection sits
@@ -613,16 +676,11 @@ def with_registered_domain(
     tmp = tmp.withColumn("_psl_ps", expr)
     reg = F.when(
         n > F.col("_psl_ps"),
-        F.concat_ws(
-            ".",
-            F.slice(
-                F.col("_psl_labels"),
-                n - F.col("_psl_ps"),
-                F.col("_psl_ps") + F.lit(1),
-            ),
-        ),
+        # count is a COLUMN (ps+1), which the substring_index builtin
+        # only takes via SQL — same expression, codegen either way
+        F.expr("substring_index(_psl_host, '.', -(_psl_ps + 1))"),
     )
-    drop = ["_psl_labels", "_psl_n", "_psl_ps"] + [
+    drop = ["_psl_host", "_psl_n", "_psl_ps"] + [
         c for k in range(1, ml + 1)
         for c in (f"_psl_sfx{k}", f"_psl_fl{k}")
     ]

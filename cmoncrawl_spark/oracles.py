@@ -40,6 +40,44 @@ _DOMAIN_PRED = (
 
 # The frontier round as pure SQL: exact dedup stands in for
 # bloom+backstop (provably the same output set).
+def _psl_rules_cte() -> tuple[str, int]:
+    """(body of a ``psl_rules(rule, kind)`` CTE, probe depth bound)
+    from the engine's DEFAULT rule source (functions/psl.py
+    ``default_psl_source``): the oracle must always judge against the
+    same rule set the engine broadcasts. When the source is a FILE
+    (the bundled full publicsuffix.org list, or $CMONCRAWL_PSL_FILE),
+    DuckDB re-parses it independently with ``read_text`` + SQL string
+    ops — same public input data, independent derivation; the
+    in-module snapshot fallback inlines VALUES. The probe bound
+    self-sizes from the deepest rule (exclusive-top for range())."""
+    from cmoncrawl_spark.functions.psl import (
+        _kind_map,
+        default_psl_source,
+        parse_psl,
+        rule_max_labels,
+    )
+
+    path, text = default_psl_source()
+    probe_hi = rule_max_labels(_kind_map(parse_psl(text))) + 1
+    if path is None:
+        vals = ", ".join(f"('{r}', '{k}')" for r, k in parse_psl(text))
+        return f"VALUES {vals}", probe_hi
+    body = f"""
+      SELECT CASE WHEN line LIKE '!%' THEN substr(line, 2)
+                  WHEN line LIKE '*.%' THEN substr(line, 3)
+                  ELSE line END AS rule,
+             CASE WHEN line LIKE '!%' THEN 'exception'
+                  WHEN line LIKE '*.%' THEN 'wildcard'
+                  ELSE 'normal' END AS kind
+      FROM (
+        SELECT trim(x, ' ' || chr(9) || chr(13)) AS line
+        FROM (SELECT unnest(string_split(content, chr(10))) AS x
+              FROM read_text('{path}'))
+      ) WHERE line <> '' AND NOT line LIKE '//%'
+    """
+    return body, probe_hi
+
+
 _FRONTIER_ROUND_SQL = """
 , cand AS (
   SELECT url, canonical_expected AS url_id, url_host_name AS host,
@@ -148,12 +186,10 @@ def oracles() -> dict[str, str]:
     # from the rules table (independent of the engine's broadcast-join
     # ladder), and policies aggregate to domain level (max budget,
     # bool_or disallow-all) exactly as queries.q_frontier_round_domain.
-    from cmoncrawl_spark.functions.psl import parse_psl as _parse_psl
-
-    _vals = ", ".join(f"('{r}', '{k}')" for r, k in _parse_psl())
+    _psl_body, _psl_hi = _psl_rules_cte()
     o["q_frontier_round_domain"] = with_crawl_ctes(
         f"""
-        , psl_rules(rule, kind) AS (VALUES {_vals}),
+        , psl_rules(rule, kind) AS ({_psl_body}),
         _ph AS (
           SELECT DISTINCT url_host_name AS h FROM pages
           UNION
@@ -171,7 +207,7 @@ def oracles() -> dict[str, str]:
         _pcand AS (
           SELECT l.h, CAST(t.k AS INT) AS k, r.kind, len(l.labels) AS n
           FROM _plab l
-          CROSS JOIN range(1, 4) t(k)
+          CROSS JOIN range(1, {_psl_hi}) t(k)
           JOIN psl_rules r
             ON len(l.labels) >= t.k
            AND array_to_string(
@@ -460,26 +496,13 @@ def oracles() -> dict[str, str]:
     # tracked the synthesis would still be caught. Rules are the same
     # publicsuffix.org-format snapshot the engine broadcasts (shared
     # INPUT data; the derivation is the independent part).
-    from cmoncrawl_spark.functions.psl import (
-        _kind_map,
-        parse_psl,
-        rule_max_labels,
-    )
     from cmoncrawl_spark.queries import PSL_HOST_SQL
 
-    psl_rules = parse_psl()
-    psl_rule_values = ", ".join(
-        f"('{r}', '{k}')" for r, k in psl_rules
-    )
-    # Probe depth derives from the deepest rule in the table (same
-    # self-sizing as the engine's join ladder) — a hardcoded bound
-    # would silently under-match if the oracle were pointed at a full
-    # list with 5-label rules. range() is exclusive at the top.
-    psl_probe_hi = rule_max_labels(_kind_map(psl_rules)) + 1
+    psl_body, psl_probe_hi = _psl_rules_cte()
     # with_crawl_ctes opens the WITH itself, so these CTEs chain on
     o["q_registered_domain"] = with_crawl_ctes(
         f"""
-        , psl_rules(rule, kind) AS (VALUES {psl_rule_values}),
+        , psl_rules(rule, kind) AS ({psl_body}),
         hosts AS (SELECT psl_host FROM ({PSL_HOST_SQL.strip()})),
         labs AS (
           SELECT psl_host,

@@ -246,19 +246,77 @@ def test_with_registered_domain_preserves_conflicting_column_names(spark):
     assert row["registered_domain"] == "foo.co.uk"
 
 
-def test_with_registered_domain_single_broadcast_build(spark):
-    """The ladder's K joins must share ONE BroadcastExchange (K-1
-    planned as ReusedExchange) — the qualified-projection rewrite may
-    not regress the shared-build property. Reuse is decided by AQE at
-    runtime, so execute first and read the FINAL adaptive plan (the
-    toString appends the initial plan after an '== Initial Plan =='
-    marker — only the section before it is what ran)."""
+def test_with_registered_domain_depth_filtered_broadcasts(spark):
+    """The ladder plans one BROADCAST join per rung over a
+    DEPTH-FILTERED rule relation (a k-label suffix can only match a
+    k-label rule), and NO shuffle exchange anywhere: every Exchange in
+    the executed plan must be a broadcast. Round 4 shared one
+    full-table BroadcastExchange across rungs; round 5 deliberately
+    splits it per depth (measured +2.6 s/19.2M-URL round for the
+    shared ~9.5k-row map vs per-depth maps — PLANS §15)."""
     df = spark.createDataFrame([("a.b.foo.co.uk",)], "host string")
     out = with_registered_domain(df)
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
-    n_reused = final.count("ReusedExchange")
-    n_builds = final.count("BroadcastExchange") - n_reused
-    assert n_builds == 1, final
-    assert n_reused >= 2, final  # bundled snapshot plans K=3 rungs
+    from cmoncrawl_spark.functions.psl import (
+        _kind_map,
+        default_psl_rules,
+        rule_max_labels,
+    )
+
+    kinds = _kind_map(default_psl_rules())
+    ml = rule_max_labels(kinds)
+    depths = {r.count(".") + 1 for r in kinds}
+    expect_joins = len([k for k in range(1, ml + 1) if k in depths])
+    assert final.count("BroadcastHashJoin") == expect_joins, final
+    # shuffle-free: exchanges are broadcast-only (ShuffleExchange
+    # would appear as 'Exchange hashpartitioning'/'rangepartitioning')
+    assert "hashpartitioning" not in final, final
+    assert "rangepartitioning" not in final, final
+
+
+def test_default_source_is_bundled_full_list():
+    """The engine now defaults to the bundled full publicsuffix.org
+    snapshot (~9.5k rules, 5-label max depth), not the curated
+    fallback; $CMONCRAWL_PSL_FILE still overrides."""
+    from cmoncrawl_spark.functions.psl import (
+        _kind_map,
+        default_psl_rules,
+        default_psl_source,
+        rule_max_labels,
+    )
+
+    path, text = default_psl_source()
+    assert path is not None and path.endswith("public_suffix_list.dat")
+    rules = default_psl_rules()
+    assert len(rules) > 9000
+    assert rule_max_labels(_kind_map(rules)) == 5
+    # full-list-only cases the curated subset could not resolve
+    assert registered_domain_py("sub.x.co.za") == "x.co.za"
+    assert registered_domain_py("y.com.mx") == "y.com.mx"
+    assert registered_domain_py("co.za") is None
+    assert registered_domain_py("a.b.cust.dev.thingdust.io") == (
+        "b.cust.dev.thingdust.io"
+    )
+
+
+def test_oracle_psl_parse_matches_engine_parse():
+    """The DuckDB oracle re-parses the SAME bundled file with SQL
+    string ops (oracles._psl_rules_cte). Its (rule, kind) set must be
+    byte-identical to the engine's parse_psl — a drift here would make
+    every PSL oracle silently judge against different rules."""
+    import duckdb
+
+    from cmoncrawl_spark.functions.psl import default_psl_source, parse_psl
+    from cmoncrawl_spark.oracles import _psl_rules_cte
+
+    path, text = default_psl_source()
+    assert path is not None  # bundled file present
+    body, probe_hi = _psl_rules_cte()
+    got = set(map(tuple, duckdb.sql(body).fetchall()))
+    want = set(parse_psl(text))
+    assert got == want
+    from cmoncrawl_spark.functions.psl import _kind_map, rule_max_labels
+
+    assert probe_hi == rule_max_labels(_kind_map(want)) + 1
