@@ -42,7 +42,7 @@ _TRAILING_RE = r"[/\-0-9]+$"
 
 
 def _host_col(url: Column) -> Column:
-    return F.parse_url(url, F.lit("HOST"))
+    return F.try_parse_url(url, F.lit("HOST"))
 
 
 def _netloc_col(url: Column) -> Column:
@@ -64,7 +64,7 @@ def unify_url_id_col(url: Column, netloc: Column | None = None) -> Column:
     host = F.when(host.startswith("www."), F.substring(host, 5, 2048)).otherwise(
         host
     )
-    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
     path = F.regexp_replace(path, _EXT_RE, "")
     path = F.regexp_extract(path, _PATH_CORE_RE, 0)
     path = F.regexp_replace(path, _TRAILING_RE, "")
@@ -146,8 +146,8 @@ def surt_key_col(url: Column) -> Column:
     host = F.lower(_host_col(url))
     host = F.when(host.startswith("www."), F.substring(host, 5, 2048)).otherwise(host)
     rev = F.concat_ws(",", F.reverse(F.split(host, r"\.")))
-    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("/"))
-    query = F.parse_url(url, F.lit("QUERY"))
+    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit("/"))
+    query = F.try_parse_url(url, F.lit("QUERY"))
     return F.concat(
         rev,
         F.lit(")"),

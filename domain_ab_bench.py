@@ -52,7 +52,7 @@ shards = bloom_ops.build_shards(
     seen, num_shards=32, expected_per_shard=200_000
 ).localCheckpoint(eager=True)
 shards.count()
-if mode == "domain":
+if mode.startswith("domain"):
     pol = spark.read.parquet(
         prepare_domain_policies(spark, sf_dir)
     ).localCheckpoint(eager=True)
@@ -60,7 +60,11 @@ else:
     pol = spark.table("host_policies").localCheckpoint(eager=True)
 cap = int(pol.agg({"budget": "max"}).first()[0])
 kw = dict(bloom_shards=shards, num_shards=32, budget_cap=cap,
-          domain_politeness=(mode == "domain"))
+          domain_politeness=mode.startswith("domain"))
+if mode == "domain-inline":
+    kw["domain_key_mode"] = "inline"
+elif mode == "domain-distinct":
+    kw["domain_key_mode"] = "distinct"
 # untimed warm round: python-worker spawn + JIT + plan compile — the
 # same protocol bench.py uses for the flagship and the domain variant
 scheduling_round(frontier, seen, pol, **kw).write.format("noop").mode(
@@ -124,36 +128,44 @@ def main() -> None:
         int(a)
         for a in os.environ.get("DOMAIN_AB_AMPLIFY", "30,120,240").split(",")
     ]
+    modes = os.environ.get(
+        "DOMAIN_AB_MODES", "host,domain-distinct,domain-inline"
+    ).split(",")
     points = []
     for amp in amplifies:
-        # interleave host/domain within the size so both see the same
+        # interleave all configs within the size so they see the same
         # window (noisy-sandbox protocol: adjacent trials, best-of)
-        h = run_config("host", sf_dir, amp, reps)
-        d = run_config("domain", sf_dir, amp, reps)
-        points.append({
-            "amplify": amp,
-            "input_urls": h["input_urls"],
-            "sec_host": h["sec"],
-            "sec_domain": d["sec"],
-            "delta_sec": round(d["sec"] - h["sec"], 3),
-            "delta_pct": round((d["sec"] / h["sec"] - 1) * 100, 1),
-            "samples_host": h["samples"],
-            "samples_domain": d["samples"],
-            "window_busy": [h["window_busy"], d["window_busy"]],
-        })
+        recs = {m: run_config(m, sf_dir, amp, reps) for m in modes}
+        h = recs[modes[0]]
+        pt = {"amplify": amp, "input_urls": h["input_urls"]}
+        for m, r in recs.items():
+            key = m.replace("-", "_")
+            pt[f"sec_{key}"] = r["sec"]
+            pt[f"samples_{key}"] = r["samples"]
+        for m in modes[1:]:
+            key = m.replace("-", "_")
+            pt[f"delta_{key}"] = round(recs[m]["sec"] - h["sec"], 3)
+            pt[f"pct_{key}"] = round(
+                (recs[m]["sec"] / h["sec"] - 1) * 100, 1
+            )
+        pt["window_busy"] = [recs[m]["window_busy"] for m in modes]
+        points.append(pt)
         print(json.dumps(points[-1]), file=sys.stderr, flush=True)
-    # flat-delta verdict: the absolute delta at the largest input is
-    # no more than 2x the delta at the smallest (fixed cost), while
-    # round time itself grew by the input ratio
-    d0, dn = points[0]["delta_sec"], points[-1]["delta_sec"]
-    flat = abs(dn) <= max(2 * abs(d0), 1.0)
+    # flat-delta verdict per domain mode: the absolute delta at the
+    # largest input is no more than 2x the delta at the smallest
+    # (fixed cost), while round time itself grew by the input ratio
+    flat = {}
+    for m in modes[1:]:
+        key = "delta_" + m.replace("-", "_")
+        d0, dn = points[0][key], points[-1][key]
+        flat[m] = abs(dn) <= max(2 * abs(d0), 1.0)
     print(json.dumps({
         "metric": "domain_vs_host_delta",
         "points": points,
         "verdict_flat_delta": flat,
         "sf_dir": sf_dir,
         "protocol": "fresh idle-gated JVM per config, local[32], "
-                    "1 warm + min of timed reps, host/domain "
+                    "1 warm + min of timed reps, all modes "
                     "interleaved per size",
     }))
 

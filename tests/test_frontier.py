@@ -194,3 +194,54 @@ def test_round_respects_budget_and_robots(spark, sf_dir):
     assert per_host.where(F.col("n") > F.col("budget")).count() == 0
     banned = pol.where("robots_disallow_all").select("host")
     assert out.join(banned, "host", "inner").count() == 0
+
+
+def test_domain_key_modes_identical_output(spark, sf_dir):
+    """canonicalize(domain_politeness=True) must produce IDENTICAL
+    rows whether the PSL ladder runs inline on every URL or on
+    distinct hosts with a map-back join (the r5 'distinct' default) —
+    including NULL hosts (malformed URLs survive via the LEFT join)
+    and hosts that ARE a public suffix (keep the raw host key)."""
+    frontier = _frontier(spark, sf_dir).unionByName(
+        spark.createDataFrame(
+            [
+                ("https://co.uk/path", 1, 0.5),       # host IS a suffix
+                ("https://a.b.x.co.za/p", 1, 0.5),    # full-list ccTLD
+                ("not a url at all", 2, 0.1),          # null host
+            ],
+            "url string, depth int, priority double",
+        )
+    )
+    outs = []
+    for mode in ("distinct", "inline"):
+        out = canonicalize(
+            frontier, domain_politeness=True, domain_key_mode=mode
+        )
+        outs.append(
+            sorted(
+                (r["url"], r["url_id"], r["host"]) for r in out.collect()
+            )
+        )
+    assert outs[0] == outs[1] and len(outs[0]) > 0
+    hosts = dict((u, h) for u, _, h in outs[0])
+    assert hosts["https://co.uk/path"] == "co.uk"       # suffix keeps host
+    assert hosts["https://a.b.x.co.za/p"] == "x.co.za"  # eTLD+1
+
+
+def test_domain_round_distinct_mode_equals_inline(spark, sf_dir):
+    """Full scheduling_round parity across domain_key_mode — the two
+    plans differ (map-back join vs row expressions) but the fetch list
+    must be bit-identical."""
+    frontier = _frontier(spark, sf_dir)
+    seen = _seen(spark)
+    from cmoncrawl_spark.queries import prepare_domain_policies
+
+    pol = spark.read.parquet(prepare_domain_policies(spark, sf_dir))
+    outs = []
+    for mode in ("distinct", "inline"):
+        out = scheduling_round(
+            frontier, seen, pol,
+            domain_politeness=True, domain_key_mode=mode,
+        )
+        outs.append(sorted(map(tuple, out.collect())))
+    assert outs[0] == outs[1] and len(outs[0]) > 0
