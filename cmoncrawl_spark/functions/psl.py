@@ -439,6 +439,15 @@ def default_psl_rules() -> list[tuple[str, str]]:
     return _DEFAULT_RULES[1]
 
 
+def _local_rule_frame(spark: SparkSession, rows: list) -> DataFrame:
+    """(rule, fl) rows as a JVM LocalRelation via pandas/Arrow (see
+    the call-site comment in :func:`with_registered_domain`)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["rule", "fl"])
+    return spark.createDataFrame(pdf, schema="rule string, fl int")
+
+
 def parse_psl(text: str = PSL_SNAPSHOT) -> list[tuple[str, str]]:
     """(rule, kind) tuples from publicsuffix.org-format text."""
     rules: list[tuple[str, str]] = []
@@ -483,7 +492,12 @@ def psl_table(
             text = f.read()
     elif text is None:
         _, text = default_psl_source()
-    return spark.createDataFrame(parse_psl(text), "rule string, kind string")
+    import pandas as pd
+
+    pdf = pd.DataFrame(parse_psl(text), columns=["rule", "kind"])
+    # pandas/Arrow -> JVM LocalRelation: no pickled-RDD scan, no
+    # Python-worker stage when this table feeds a broadcast build
+    return spark.createDataFrame(pdf, schema="rule string, kind string")
 
 
 def _kind_map(rules) -> dict[str, set]:
@@ -636,8 +650,15 @@ def with_registered_domain(
         suffix_k = F.when(
             n >= k, F.substring_index(F.col("_psl_host"), ".", -k)
         )
-        fk = df.sparkSession.createDataFrame(
-            by_depth[k], "rule string, fl int"
+        # Build the rule relation from PANDAS (Arrow) — it lands as a
+        # JVM LocalRelation, so each rung's broadcast materializes
+        # driver-side with NO job and NO Python worker. A plain-list
+        # createDataFrame becomes a pickled-RDD scan whose broadcast
+        # build spawns a Python-runner stage PER RUNG PER EXECUTION —
+        # measured ~1 s each, ~5 s/execution of a K=5 full-list
+        # ladder before any data was touched.
+        fk = _local_rule_frame(
+            df.sparkSession, by_depth[k]
         ).alias(f"_pslr{k}")
         # Projection with QUALIFIED refs above the join — never a
         # rename: withColumnsRenamed would hijack any input column the
