@@ -17,16 +17,7 @@ for c in [int(x) for x in sys.argv[1:]] or [8, 32, 8, 32]:
         break
     subprocess.run(["pkill", "-9", "java"], capture_output=True)
 
-    def cpu_busy_frac(dt: float = 1.0) -> float:
-        def snap():
-            parts = open("/proc/stat").readline().split()[1:]
-            vals = [int(x) for x in parts]
-            idle = vals[3] + vals[4]
-            return idle, sum(vals)
-        i0, t0_ = snap()
-        time.sleep(dt)
-        i1, t1_ = snap()
-        return 1.0 - (i1 - i0) / max(t1_ - t0_, 1)
+    from benchgate import cpu_busy_frac  # shared gate (benchgate.py)
 
     t0 = time.monotonic()
     while cpu_busy_frac() > 0.10 and time.monotonic() - t0 < 45:

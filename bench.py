@@ -34,6 +34,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from benchgate import wait_for_quiet_window as _wait_for_quiet_window  # noqa: E402
+
 HEADLINE = [
     "q_frontier_round",
     "q_frontier_round_exact",
@@ -113,33 +115,6 @@ def _run_trial(sf_dir: str, cpus: int) -> dict:
     per_query["_frontier_urls"] = spark.table("pages").count()
     spark.stop()
     return per_query
-
-
-def _cpu_busy_frac(dt: float = 1.0) -> float:
-    """Host-wide CPU busy fraction over a dt-second window (/proc/stat)."""
-
-    def snap():
-        parts = open("/proc/stat").readline().split()[1:]
-        vals = [int(x) for x in parts]
-        idle = vals[3] + vals[4]  # idle + iowait
-        return idle, sum(vals)
-
-    i0, t0 = snap()
-    time.sleep(dt)
-    i1, t1 = snap()
-    return 1.0 - (i1 - i0) / max(t1 - t0, 1)
-
-
-def _wait_for_quiet_window() -> float:
-    """Block (bounded) until the host looks idle; return the busy
-    fraction observed when we give the go — disclosed per trial."""
-    busy_max = float(os.environ.get("SPARK_GRAFT_BENCH_BUSY_MAX", "0.10"))
-    gate_s = float(os.environ.get("SPARK_GRAFT_BENCH_GATE_S", "180"))
-    deadline = time.monotonic() + gate_s
-    busy = _cpu_busy_frac()
-    while busy > busy_max and time.monotonic() < deadline:
-        busy = _cpu_busy_frac()
-    return round(busy, 3)
 
 
 def main() -> None:

@@ -209,6 +209,24 @@ def run_crawl(args: argparse.Namespace) -> None:
     hosts = frontier.select(
         host_of(F.col("url")).alias("host")
     ).distinct()
+    if args.domain_politeness:
+        # scheduling_round rewrites each candidate's politeness key to
+        # the PSL registered domain (eTLD+1) and then INNER-joins the
+        # policies table on it — so the policies must be keyed the
+        # same way, or every subdomain URL silently vanishes at the
+        # join (raw hosts like 'www.example.com' never match the
+        # rewritten key 'example.com'). Same coalesce(_rd, host)
+        # fallback as operators/frontier.canonicalize: hosts that ARE
+        # a public suffix keep their raw key.
+        from cmoncrawl_spark.functions.psl import with_registered_domain
+
+        hosts = (
+            with_registered_domain(hosts, host_col="host", out_col="_rd")
+            .select(
+                F.coalesce(F.col("_rd"), F.col("host")).alias("host")
+            )
+            .distinct()
+        )
     policies = hosts.select(
         "host",
         F.lit(args.budget).cast("int").alias("budget"),

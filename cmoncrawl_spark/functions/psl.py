@@ -408,20 +408,42 @@ FULL_PSL_PATH = os.path.join(
 )
 
 
-def default_psl_source() -> tuple[str | None, str]:
-    """(path, text) of the default rule source, in priority order:
+def _resolve_psl_path() -> str | None:
+    """THE single resolution of which rule file is in force, priority:
     ``$CMONCRAWL_PSL_FILE`` (deployment override) > the bundled full
-    publicsuffix.org list > the curated in-module snapshot (path
-    ``None``). Every default-rules consumer — the broadcast ladder,
-    the Python twin, the DuckDB oracles — resolves through here, so
-    they can never disagree about which rule set is in force."""
-    path = os.environ.get("CMONCRAWL_PSL_FILE") or (
+    publicsuffix.org list > ``None`` (curated in-module snapshot).
+    Every path-sensitive consumer (source text, parsed-rule cache,
+    cache fingerprints) MUST call this — a second inline copy of the
+    priority chain would silently drift if a layer is ever added."""
+    return os.environ.get("CMONCRAWL_PSL_FILE") or (
         FULL_PSL_PATH if os.path.exists(FULL_PSL_PATH) else None
     )
+
+
+def default_psl_source() -> tuple[str | None, str]:
+    """(path, text) of the default rule source (see
+    :func:`_resolve_psl_path` for the priority order). Every
+    default-rules consumer — the broadcast ladder, the Python twin,
+    the DuckDB oracles — resolves through here, so they can never
+    disagree about which rule set is in force."""
+    path = _resolve_psl_path()
     if path:
         with open(path, encoding="utf-8") as f:
             return os.path.abspath(path), f.read()
     return None, PSL_SNAPSHOT
+
+
+def psl_source_fingerprint() -> str:
+    """Stable identity of the rule source in force — ``path|mtime_ns``
+    for a file source, a constant for the in-module snapshot. Any
+    on-disk cache derived from PSL-dependent computation (e.g.
+    domain-keyed politeness tables) must fold this into its key, or a
+    rule-set swap silently serves entries computed under the old
+    rules."""
+    path = _resolve_psl_path()
+    if path is None:
+        return "snapshot"
+    return f"{os.path.abspath(path)}|{os.stat(path).st_mtime_ns}"
 
 
 _DEFAULT_RULES: tuple[str | None, list] | None = None
@@ -430,9 +452,7 @@ _DEFAULT_RULES: tuple[str | None, list] | None = None
 def default_psl_rules() -> list[tuple[str, str]]:
     """Parsed default rules, cached per process (per source path)."""
     global _DEFAULT_RULES
-    path = os.environ.get("CMONCRAWL_PSL_FILE") or (
-        FULL_PSL_PATH if os.path.exists(FULL_PSL_PATH) else None
-    )
+    path = _resolve_psl_path()
     if _DEFAULT_RULES is None or _DEFAULT_RULES[0] != path:
         _, text = default_psl_source()
         _DEFAULT_RULES = (path, parse_psl(text))
@@ -662,10 +682,11 @@ def with_registered_domain(
         ).alias(f"_pslr{k}")
         # Projection with QUALIFIED refs above the join — never a
         # rename: withColumnsRenamed would hijack any input column the
-        # user happens to call rule/nrm/wld/exc. The projection sits
-        # above the join (not on the build side), so the build subtree
-        # stays the identical `flags` frame for every k and Spark still
-        # plans ONE BroadcastExchange + K-1 ReusedExchange.
+        # user happens to call rule/fl. (Each rung deliberately builds
+        # its OWN depth-filtered relation — K small cache-resident
+        # broadcasts beat one shared full-list broadcast by ~2.6 s per
+        # 19.2M-URL round; plan-pinned in
+        # tests/test_psl.py::test_with_registered_domain_depth_filtered_broadcasts.)
         lk = tmp.withColumn(f"_psl_sfx{k}", suffix_k).alias(f"_psll{k}")
         tmp = lk.join(
             F.broadcast(fk),

@@ -40,6 +40,9 @@ _DOMAIN_PRED = (
 
 # The frontier round as pure SQL: exact dedup stands in for
 # bloom+backstop (provably the same output set).
+_PSL_CTE_CACHE: dict[str, tuple[str, int]] = {}
+
+
 def _psl_rules_cte() -> tuple[str, int]:
     """(body of a ``psl_rules(rule, kind)`` CTE, probe depth bound)
     from the engine's DEFAULT rule source (functions/psl.py
@@ -49,19 +52,37 @@ def _psl_rules_cte() -> tuple[str, int]:
     DuckDB re-parses it independently with ``read_text`` + SQL string
     ops — same public input data, independent derivation; the
     in-module snapshot fallback inlines VALUES. The probe bound
-    self-sizes from the deepest rule (exclusive-top for range())."""
+    self-sizes from the deepest rule (exclusive-top for range()).
+
+    Memoized on the PSL source fingerprint — ``oracles()`` calls this
+    twice and harnesses rebuild the oracle dict per trial; re-reading
+    and re-parsing the ~14k-line list each time is pure waste."""
     from cmoncrawl_spark.functions.psl import (
         _kind_map,
+        default_psl_rules,
         default_psl_source,
-        parse_psl,
+        psl_source_fingerprint,
         rule_max_labels,
     )
 
-    path, text = default_psl_source()
-    probe_hi = rule_max_labels(_kind_map(parse_psl(text))) + 1
-    if path is None:
-        vals = ", ".join(f"('{r}', '{k}')" for r, k in parse_psl(text))
-        return f"VALUES {vals}", probe_hi
+    fp = psl_source_fingerprint()
+    if fp in _PSL_CTE_CACHE:
+        return _PSL_CTE_CACHE[fp]
+
+    path, _text = default_psl_source()
+    rules = default_psl_rules()  # parsed once per process, cached
+    probe_hi = rule_max_labels(_kind_map(rules)) + 1
+    # read_text('{path}') splices the user-controlled
+    # $CMONCRAWL_PSL_FILE path into SQL, AND DuckDB treats the string
+    # as a glob pattern: a quote would break the statement; * ? [ ]
+    # would silently match the WRONG file(s). Rules never contain
+    # quotes (publicsuffix.org format), so the VALUES route needs no
+    # escaping of its own.
+    if path is None or "'" in path or any(c in path for c in "*?[]"):
+        vals = ", ".join(f"('{r}', '{k}')" for r, k in rules)
+        out = (f"VALUES {vals}", probe_hi)
+        _PSL_CTE_CACHE[fp] = out
+        return out
     body = f"""
       SELECT CASE WHEN line LIKE '!%' THEN substr(line, 2)
                   WHEN line LIKE '*.%' THEN substr(line, 3)
@@ -75,6 +96,7 @@ def _psl_rules_cte() -> tuple[str, int]:
               FROM read_text('{path}'))
       ) WHERE line <> '' AND NOT line LIKE '//%'
     """
+    _PSL_CTE_CACHE[fp] = (body, probe_hi)
     return body, probe_hi
 
 

@@ -298,14 +298,22 @@ def prepare_domain_policies(spark: SparkSession, sf_dir: str) -> str:
     import hashlib
     import tempfile
 
-    from cmoncrawl_spark.functions.psl import with_registered_domain
+    from cmoncrawl_spark.functions.psl import (
+        psl_source_fingerprint,
+        with_registered_domain,
+    )
 
     try:
         mtime = os.stat(os.path.join(sf_dir, "documents.parquet")).st_mtime_ns
     except OSError:
         mtime = 0
+    # the key MUST include the PSL source identity: the cached table's
+    # domain keys were derived under a specific rule set, and a swap
+    # (bundled list upgrade, $CMONCRAWL_PSL_FILE) must invalidate it —
+    # otherwise scheduling_round's inner policy join silently drops or
+    # mis-budgets domains whose eTLD+1 changed under the new rules.
     key = hashlib.md5(
-        f"dpol|{os.path.abspath(sf_dir)}|{mtime}".encode()
+        f"dpol|{os.path.abspath(sf_dir)}|{mtime}|{psl_source_fingerprint()}".encode()
     ).hexdigest()[:16]
     path = os.path.join(tempfile.gettempdir(), "cmoncrawl_spark_dpol", key)
     marker = os.path.join(path, "_SUCCESS")

@@ -25,6 +25,10 @@ import subprocess
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from benchgate import wait_for_quiet_window as _gate  # noqa: E402
+
 WORKER = r"""
 import json, os, sys, time
 sys.path.insert(0, "/root/repo")
@@ -79,28 +83,6 @@ print(json.dumps({"mode": mode, "sec": min(samples),
                   "samples": samples, "input_urls": n_urls}))
 spark.stop()
 """
-
-
-def _cpu_busy_frac(dt: float = 1.0) -> float:
-    def snap():
-        parts = open("/proc/stat").readline().split()[1:]
-        vals = [int(x) for x in parts]
-        return vals[3] + vals[4], sum(vals)
-
-    i0, t0 = snap()
-    time.sleep(dt)
-    i1, t1 = snap()
-    return 1.0 - (i1 - i0) / max(t1 - t0, 1)
-
-
-def _gate() -> float:
-    deadline = time.monotonic() + float(
-        os.environ.get("SPARK_GRAFT_BENCH_GATE_S", "180")
-    )
-    busy = _cpu_busy_frac()
-    while busy > 0.10 and time.monotonic() < deadline:
-        busy = _cpu_busy_frac()
-    return round(busy, 3)
 
 
 def run_config(mode: str, sf_dir: str, amplify: int, reps: int) -> dict:

@@ -229,3 +229,73 @@ def test_cli_crawl_composed_pipeline_end_to_end(spark, tmp_path):
         offsets = sorted(r["fetch_offset_ms"] for r in hrows)
         assert offsets == [1500 * i for i in range(len(hrows))], host
         assert all(r["crawl_delay_s"] == 1.5 for r in hrows)
+
+
+def test_cli_crawl_domain_politeness_subdomain_hosts(spark, tmp_path):
+    """Regression (round-5 review): with --domain_politeness the CLI's
+    synthesized policies must be keyed by the PSL registered domain,
+    not the raw hosts — scheduling_round rewrites every candidate's
+    politeness key to eTLD+1 before the INNER policy join, so
+    raw-host-keyed policies matched nothing and the schedule was
+    silently EMPTY for any frontier of subdomain URLs (the common
+    case on a real CDX index). Also asserts the semantics the flag
+    exists for: subdomains of one owner share ONE budget."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    # three URLs across two subdomains of ONE registered domain
+    # (co.uk is a wildcard-free public suffix in the bundled list)
+    recs = [
+        {"url": "https://www.shop-x.co.uk/p1a", "filename": "f1.warc.gz",
+         "offset": "0", "length": "10", "digest": "SHA1:A",
+         "encoding": "UTF-8", "timestamp": "20230301120000"},
+        {"url": "https://blog.shop-x.co.uk/p2b", "filename": "f1.warc.gz",
+         "offset": "10", "length": "10", "digest": "SHA1:B",
+         "encoding": "UTF-8", "timestamp": "20230301120001"},
+        {"url": "https://blog.shop-x.co.uk/p3c", "filename": "f2.warc.gz",
+         "offset": "0", "length": "10", "digest": "SHA1:C",
+         "encoding": "UTF-8", "timestamp": "20230301120002"},
+    ]
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            q = parse_qs(urlparse(self.path).query)
+            if q.get("showNumPages") == ["true"]:
+                body = _json.dumps({"pages": 1}).encode()
+            else:
+                body = "\n".join(_json.dumps(r) for r in recs).encode()
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}/cdx"
+    out = str(tmp_path / "sched_dp")
+    try:
+        main([
+            "crawl", out, "shop-x.co.uk",
+            "--cdx_server", base, "--match_type", "domain",
+            "--budget", "2", "--crawl_delay", "1.0",
+            "--domain_politeness",
+            "--max_requests_per_second", "1000",
+        ])
+    finally:
+        srv.shutdown()
+    rows = [
+        _json.loads(r["value"])
+        for r in spark.read.text(out).collect()
+    ]
+    # pre-fix: rows == [] (policy join missed every subdomain host)
+    assert rows, "domain-politeness schedule must not be empty"
+    # all three candidates share one politeness key == eTLD+1 ...
+    assert {r["host"] for r in rows} == {"shop-x.co.uk"}
+    # ... and therefore share ONE budget: 3 distinct URLs, budget 2
+    assert len(rows) == 2
+    offsets = sorted(r["fetch_offset_ms"] for r in rows)
+    assert offsets == [0, 1000]

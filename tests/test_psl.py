@@ -320,3 +320,74 @@ def test_oracle_psl_parse_matches_engine_parse():
     from cmoncrawl_spark.functions.psl import _kind_map, rule_max_labels
 
     assert probe_hi == rule_max_labels(_kind_map(want)) + 1
+
+
+def test_psl_source_fingerprint_tracks_source(monkeypatch, tmp_path):
+    """Cache keys derived from PSL-dependent computation fold in
+    psl_source_fingerprint(); it must change when the rule source
+    does (round-5 review: prepare_domain_policies' on-disk cache was
+    keyed only on the input dir, so a rule-set swap silently served
+    domain policies computed under the OLD rules)."""
+    from cmoncrawl_spark.functions.psl import psl_source_fingerprint
+
+    fp_bundled = psl_source_fingerprint()
+    f = tmp_path / "mini_psl.dat"
+    f.write_text("com\nco.uk\n")
+    monkeypatch.setenv("CMONCRAWL_PSL_FILE", str(f))
+    fp_file = psl_source_fingerprint()
+    assert fp_file != fp_bundled
+    assert str(f) in fp_file
+    # and the domain-policy cache key is derived from it
+    import hashlib
+
+    k1 = hashlib.md5(f"dpol|/x|0|{fp_bundled}".encode()).hexdigest()
+    k2 = hashlib.md5(f"dpol|/x|0|{fp_file}".encode()).hexdigest()
+    assert k1 != k2
+
+
+def test_oracle_psl_cte_hostile_path_falls_back_to_values(
+    monkeypatch, tmp_path
+):
+    """$CMONCRAWL_PSL_FILE is user-controlled and DuckDB's read_text
+    treats the spliced path as BOTH a SQL string and a glob pattern —
+    a quote would break the statement, * ? [ ] would silently read
+    the wrong file(s). Hostile paths must take the VALUES route and
+    still yield the identical rule set (round-5 review)."""
+    import duckdb
+
+    from cmoncrawl_spark import oracles
+    from cmoncrawl_spark.functions.psl import parse_psl
+
+    d = tmp_path / "o'brien [data]"
+    d.mkdir()
+    f = d / "psl.dat"
+    text = "// comment\ncom\n*.ck\n!www.ck\nco.uk\n"
+    f.write_text(text)
+    monkeypatch.setenv("CMONCRAWL_PSL_FILE", str(f))
+    body, probe_hi = oracles._psl_rules_cte()
+    assert body.lstrip().startswith("VALUES"), body[:80]
+    got = set(
+        duckdb.sql(
+            f"WITH psl_rules(rule, kind) AS ({body}) "
+            "SELECT rule, kind FROM psl_rules"
+        ).fetchall()
+    )
+    assert got == set(parse_psl(text))
+    assert probe_hi >= 3  # deepest rule has 2 labels -> probe 1..2
+
+
+def test_oracle_psl_cte_memoized_per_source(monkeypatch, tmp_path):
+    """oracles() builds the CTE twice per call and harnesses rebuild
+    oracles() per trial — the ~14k-line list must parse once per
+    source, and the memo must NOT serve a stale body after the
+    source changes."""
+    from cmoncrawl_spark import oracles
+
+    b1, h1 = oracles._psl_rules_cte()
+    assert (b1, h1) == oracles._psl_rules_cte()  # cache hit, same obj
+    f = tmp_path / "two_rules.dat"
+    f.write_text("com\nnet\n")
+    monkeypatch.setenv("CMONCRAWL_PSL_FILE", str(f))
+    b2, h2 = oracles._psl_rules_cte()
+    assert b2 != b1  # new source -> new body, not the stale memo
+    assert h2 == 2  # 1-label rules -> probe bound 2
