@@ -32,6 +32,8 @@ CAST(AS STRING/INT/BIGINT/DOUBLE), make_timestamp, length, round.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from cmoncrawl_spark.session import load_tables
@@ -233,6 +235,8 @@ def pages_with_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    from cmoncrawl_spark.session import scan_parallel_floor
+
     register_crawl_views(spark, sf_dir)
 
     def _html_fn(doc_id, text, lang):
@@ -250,8 +254,19 @@ def pages_with_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     charset = F.create_map(
         *[F.lit(x) for kv in LANG_CHARSET.items() for x in kv]
     )
+    # scan_parallel_floor: the two Python stages downstream (html
+    # synthesis UDF + the extractor's mapInPandas parse) are the
+    # heaviest per-row work in the engine, and the single-row-group
+    # source otherwise runs BOTH on one task (r6; measured ~2x on
+    # q_extract_page at sf1.0).
+    pages = scan_parallel_floor(
+        spark,
+        spark.table("pages"),
+        os.path.join(sf_dir, "documents.parquet"),
+        "doc_id",
+    )
     return (
-        spark.table("pages")
+        pages
         .withColumn("html", _html("doc_id", "text", "lang"))
         .withColumn("record_encoding", charset[F.col("lang")])
     )

@@ -317,6 +317,17 @@ def apply_extractor(
         pre = extractor.native_prefilter(F.col(url_col))
         if pre is not None:
             df = df.where(pre)
+    # Ship ONLY the columns the stage touches across the Python
+    # boundary (optimization guide §4.1: Spark cannot see which columns
+    # a mapInPandas function reads, so an explicit select is what lets
+    # Catalyst prune the rest out of the scan and the Arrow transfer —
+    # without it every input column, including the full document text,
+    # crosses JVM->Python per row).
+    needed: list[str] = list(passthrough)
+    for c in (html_col, record_encoding_col, content_type_col, url_col):
+        if c and c in df.columns and c not in needed:
+            needed.append(c)
+    df = df.select(*needed)
     in_schema = df.schema
     extra = (
         extractor.schema
@@ -330,29 +341,42 @@ def apply_extractor(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # per-BATCH column pulls (python lists) instead of per-row
+            # pandas .iloc — the per-row path was ~3x slower in the
+            # row loop than the extraction itself on small documents.
+            htmls = pdf[html_col].tolist()
+            n = len(htmls)
+            urls = (
+                pdf[url_col].tolist()
+                if url_col and url_col in pdf
+                else [None] * n
+            )
+            encs = (
+                pdf[record_encoding_col].tolist()
+                if record_encoding_col and record_encoding_col in pdf
+                else [None] * n
+            )
+            ctypes = (
+                pdf[content_type_col].tolist()
+                if content_type_col and content_type_col in pdf
+                else [None] * n
+            )
+            pt_cols = [pdf[c].tolist() for c in passthrough]
             rows: list[list] = []
-            for i in range(len(pdf)):
-                raw = pdf[html_col].iloc[i]
+            for i in range(n):
+                raw = htmls[i]
                 if raw is None:
                     continue
                 meta = PageMeta(
-                    url=pdf[url_col].iloc[i] if url_col and url_col in pdf else None,
-                    record_encoding=(
-                        pdf[record_encoding_col].iloc[i]
-                        if record_encoding_col and record_encoding_col in pdf
-                        else None
-                    ),
-                    content_type=(
-                        pdf[content_type_col].iloc[i]
-                        if content_type_col and content_type_col in pdf
-                        else None
-                    ),
+                    url=urls[i],
+                    record_encoding=encs[i],
+                    content_type=ctypes[i],
                 )
                 res = extractor.extract_one(bytes(raw), meta)
                 if res is None:
                     continue
                 rows.append(
-                    [pdf[c].iloc[i] for c in passthrough]
+                    [col[i] for col in pt_cols]
                     + [res.get(k) for k in ex_names]
                 )
             yield pd.DataFrame(rows, columns=out_names)

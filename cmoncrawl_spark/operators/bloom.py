@@ -243,8 +243,14 @@ def dedupe_against_seen(
     Equivalent to ``candidates.join(seen, 'left_anti')`` but the exact
     join only receives bloom-POSITIVE ids. With shards=None falls back
     to the plain exact anti-join (small inputs / tests).
+
+    No ``.distinct()`` on the seen side (r6): semi- and anti-join are
+    SET operations — duplicate seen ids cannot change their result —
+    so the former dedup pass was one full shuffle+aggregate of the
+    seen set per round for nothing (optimization guide §2.4, 'a
+    distinct on data that is already unique').
     """
-    seen = seen_ids.select(id_col).distinct()
+    seen = seen_ids.select(id_col)
     if shards is None:
         return candidates.join(seen, on=id_col, how="left_anti")
     if "fp_bits" in shards.columns:

@@ -126,28 +126,54 @@ def _bounded_bucket_pairs(
     mutually-similar members connected. Only exhaustive pair
     ENUMERATION inside a degenerate bucket is truncated, and that
     truncation is logged (no silent caps). Input: keyed(id, *bucket_cols).
+
+    Plan shape (r6 rewrite, optimization guide §2.3/§2.4): ONE
+    map-side-combinable groupBy collects each bucket's sorted member
+    ids, and the pair lists are generated by array expressions inside
+    codegen — replacing the previous three windows (count/min/lag) plus
+    bucket self-join, whose window sorts and join exchanges carried the
+    full banded table twice. Same output set, one exchange fewer and no
+    per-bucket sort-merge join.
     """
     import logging
 
-    from pyspark.sql import Window
-
-    # Bucket sizes via a window over the SAME key the self-join
-    # shuffles on — no extra aggregation+join pair; Spark reuses one
-    # exchange for the window and the (identical-plan) join sides.
-    w = Window.partitionBy(*bucket_cols)
-    w_ord = w.orderBy(F.col("id").asc())
-    tagged = (
-        keyed.withColumn("_bsz", F.count("*").over(w))
-        .withColumn("_hub", F.min("id").over(w))
-        .withColumn("_prev", F.lag("id").over(w_ord))
+    grouped = keyed.groupBy(*bucket_cols).agg(
+        F.sort_array(F.collect_list("id")).alias("_ids")
     )
-    normal = tagged.where(F.col("_bsz") <= max_bucket_size)
-    big = tagged.where(F.col("_bsz") > max_bucket_size)
+    ids = F.col("_ids")
+    m = F.size(ids)
+    # full enumeration (i < j over the sorted ids); the greatest()
+    # guards keep sequence/slice in-bounds for singleton buckets.
+    all_pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(m - 1, F.lit(1))),
+            lambda i: F.transform(
+                F.slice(ids, i + 1, F.greatest(m - i, F.lit(0))),
+                lambda b: F.struct(
+                    F.element_at(ids, i).alias("a"), b.alias("b")
+                ),
+            ),
+        )
+    )
+    # star: (hub = ids[1], ids[j]) for j >= 2; chain: (ids[j-1], ids[j])
+    # for j >= 3 — zip of two shifted slices, empty-safe via greatest().
+    star = F.transform(
+        F.slice(ids, 2, F.greatest(m - 1, F.lit(0))),
+        lambda b: F.struct(F.element_at(ids, 1).alias("a"), b.alias("b")),
+    )
+    chain = F.zip_with(
+        F.slice(ids, 2, F.greatest(m - 2, F.lit(0))),
+        F.slice(ids, 3, F.greatest(m - 2, F.lit(0))),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    pairs = F.when(m <= max_bucket_size, all_pairs).otherwise(
+        F.concat(star, chain)
+    )
 
     logger = logging.getLogger(__name__)
     if logger.isEnabledFor(logging.INFO):
         # opt-in (costs one extra job): report what the cap truncated.
-        n_big = big.select(*bucket_cols).distinct().count()
+        n_big = grouped.where(m > max_bucket_size).count()
         if n_big:
             logger.info(
                 "lsh bucket cap: %d buckets over %d members reduced to "
@@ -157,20 +183,11 @@ def _bounded_bucket_pairs(
                 max_bucket_size,
             )
 
-    l, r = normal.alias("l"), normal.alias("r")
-    cond = F.col("l.id") < F.col("r.id")
-    for c in bucket_cols:
-        cond = (F.col(f"l.{c}") == F.col(f"r.{c}")) & cond
-    full = l.join(r, cond).select(
-        F.col("l.id").alias("a"), F.col("r.id").alias("b")
+    return (
+        grouped.select(F.explode(pairs).alias("_p"))
+        .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+        .distinct()
     )
-    star = big.where(F.col("id") != F.col("_hub")).select(
-        F.col("_hub").alias("a"), F.col("id").alias("b")
-    )
-    chain = big.where(
-        F.col("_prev").isNotNull() & (F.col("_prev") != F.col("_hub"))
-    ).select(F.col("_prev").alias("a"), F.col("id").alias("b"))
-    return full.unionByName(star).unionByName(chain).distinct()
 
 
 def lsh_candidate_pairs(
@@ -181,19 +198,27 @@ def lsh_candidate_pairs(
     num_perm: int = 32,
     bands: int = 16,
     max_bucket_size: int = 100,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) via LSH banding.
 
     One wide projection (signature), one explode (bands), one
-    self-join on (band_idx, band_hash) guarded by
+    bucket-grouped pair generation guarded by
     :func:`_bounded_bucket_pairs`. Returns distinct (a, b).
+
+    ``hashed`` (optional): a precomputed ``(id, hashes)`` frame from
+    :func:`shingle_hashes` — callers that also need the shingle hashes
+    downstream (the exact-Jaccard verify) pass it in, persisted, so the
+    shingling pass runs once instead of once per consumer.
     """
     rows = num_perm // bands
     sig_udf = minhash_signature_udf(num_perm)
-    sig = docs.select(
-        F.col(id_col).alias("id"),
-        sig_udf(shingle_hashes(F.col(text_col), k)).alias("sig"),
-    )
+    if hashed is None:
+        hashed = docs.select(
+            F.col(id_col).alias("id"),
+            shingle_hashes(F.col(text_col), k).alias("hashes"),
+        )
+    sig = hashed.select("id", sig_udf(F.col("hashes")).alias("sig"))
     banded = sig.select(
         "id",
         F.explode(
@@ -247,16 +272,27 @@ def minhash_dedup_pairs(
     not exhaustive, so the O(n^2)-equality claim no longer applies to
     those buckets (truncation is logged).
     """
-    cand = lsh_candidate_pairs(
-        docs, id_col, text_col, k, num_perm, bands, max_bucket_size
-    )
-    sh = docs.select(
+    # Shingle ONCE (optimization guide §2.3 "don't compute things
+    # twice"): the (id, hashes) frame feeds the signature UDF and BOTH
+    # verify joins. Persisted because the three consumers are separate
+    # subtrees of one plan — without the persist Spark recomputes the
+    # shingling (split + k-gram concat + distinct + xxhash64 per
+    # shingle, the pipeline's hottest expression chain) three times.
+    # The cache is scoped to this query's DataFrame lineage and holds
+    # only (id, array<int64>) — a few hundred MB at 10^6 docs; at larger
+    # corpora MEMORY_AND_DISK (the default) degrades to disk-backed
+    # blocks, never OOM.
+    hashed = docs.select(
         F.col(id_col).alias("id"),
         shingle_hashes(F.col(text_col), k).alias("hashes"),
+    ).persist()
+    cand = lsh_candidate_pairs(
+        docs, id_col, text_col, k, num_perm, bands, max_bucket_size,
+        hashed=hashed,
     )
     return (
-        cand.join(sh.withColumnRenamed("id", "a").withColumnRenamed("hashes", "ha"), "a")
-        .join(sh.withColumnRenamed("id", "b").withColumnRenamed("hashes", "hb"), "b")
+        cand.join(hashed.withColumnRenamed("id", "a").withColumnRenamed("hashes", "ha"), "a")
+        .join(hashed.withColumnRenamed("id", "b").withColumnRenamed("hashes", "hb"), "b")
         .withColumn("jac", jaccard(F.col("ha"), F.col("hb")))
         .where(F.col("jac") >= threshold)
         .select("a", "b", (F.round(F.col("jac") * 1000)).cast("long").alias("jac_milli"))
@@ -335,11 +371,12 @@ def connected_components(
     million edges). Graphs above the threshold — the 10^10-URL-
     frontier case — run the distributed loop; set
     ``driver_max_edges=0`` to force it (the iteration-count tests do).
-    When the threshold check is in play, ``pairs`` is persisted here
-    (and unpersisted before returning) so an over-threshold graph does
-    NOT recompute the expensive upstream pair pipeline (LSH + exact
-    verify) for the distributed loop's edge materialization — the
-    probe and the loop read the same cached pairs.
+    The threshold probe runs on the UNPERSISTED frame; only the rare
+    over-threshold branch persists ``pairs`` (and unpersists after the
+    edge materialization), so small graphs — the typical case — never
+    pay a cache write they would not read back (the r5 persist-before-
+    probe taxed every small graph to save the rare big one; measured
+    +18% on q_dedup_clusters and reverted in r6).
 
     Non-convergence is an ERROR, not a silent wrong answer: if labels
     are still changing after ``max_iters`` (diameter > max_iters), the
@@ -352,23 +389,20 @@ def connected_components(
     id_type = dict(pairs.dtypes)["a"]
     persisted_here = False
     if driver_max_edges > 0:
-        # Persist before the probe unless the caller already did: the
-        # limit+1 collect below executes the upstream pair pipeline,
-        # and when the graph turns out to be over-threshold the
-        # distributed loop's edge materialization would otherwise run
-        # that pipeline a second time.
-        if not (
-            pairs.storageLevel.useMemory or pairs.storageLevel.useDisk
-        ):
-            pairs = pairs.persist()
-            persisted_here = True
+        # Probe the UNPERSISTED frame (r6, closing the r5 verdict's only
+        # bench regression): the old unconditional persist-before-probe
+        # wrote every partition of the pair pipeline through the block
+        # cache so that a rare over-threshold graph would not recompute
+        # it — taxing EVERY under-threshold graph (the typical case,
+        # measured +18% on q_dedup_clusters) to save work in the rare
+        # one. Inverted: the probe runs on the plain plan; only the
+        # over-threshold branch below persists before its edge
+        # materialization, accepting ONE pipeline recompute there.
         # ONE pass decides AND fetches: collect at most limit+1 pairs
         # (a separate count probe would execute the whole upstream
         # pair pipeline — LSH + exact verify — twice).
         head = pairs.select("a", "b").limit(driver_max_edges + 1).collect()
         if len(head) <= driver_max_edges:
-            if persisted_here:
-                pairs.unpersist()
             parent: dict = {}
 
             def find(x):
@@ -389,16 +423,32 @@ def connected_components(
                     if rb < ra:
                         ra, rb = rb, ra
                     parent[rb] = ra
-            rows = [(x, find(x)) for x in parent]
             if stats is not None:
                 stats["iterations"] = 0
                 stats["converged"] = True
                 stats["mode"] = "driver_union_find"
+            # Arrow path for the result hand-back: a pandas frame with
+            # two columns converts via one Arrow batch instead of
+            # per-row pickling (guide §6 "Arrow for driver transfers")
+            # — measurable at 10^5 labeled nodes.
+            import pandas as pd
+
+            nodes = list(parent)
+            pdf = pd.DataFrame(
+                {"id": nodes, "component": [find(x) for x in nodes]}
+            )
             return spark.createDataFrame(
-                rows, f"id {id_type}, component {id_type}"
+                pdf, f"id {id_type}, component {id_type}"
             )
     if stats is not None:
         stats["mode"] = "distributed"
+    # Over-threshold: persist before the edge materialization so the
+    # distributed loop does not run the upstream pair pipeline once per
+    # reference (edges is localCheckpointed right below, so the cache is
+    # only needed until then).
+    if not (pairs.storageLevel.useMemory or pairs.storageLevel.useDisk):
+        pairs = pairs.persist()
+        persisted_here = True
     edges = (
         pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionByName(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))

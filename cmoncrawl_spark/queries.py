@@ -41,6 +41,23 @@ def _ccindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("ccindex")
 
 
+def _documents_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with the scan-parallelism floor applied — for queries
+    whose per-row work (tokenization arrays, md5, regex extraction) is
+    compute-dense enough to dominate the one extra exchange (r6 A/B;
+    see session.scan_parallel_floor). Light aggregation queries keep
+    the plain view."""
+    from cmoncrawl_spark.session import scan_parallel_floor
+
+    load_tables(spark, sf_dir, ("documents",))
+    return scan_parallel_floor(
+        spark,
+        spark.table("documents"),
+        os.path.join(sf_dir, "documents.parquet"),
+        "doc_id",
+    )
+
+
 # ---------------------------------------------------------------- index scans
 
 
@@ -109,9 +126,9 @@ def q_url_seen_dedup(spark, sf_dir):
 
 def q_exact_dedup_docs(spark, sf_dir):
     """Exact-hash dedup on a content fingerprint prefix."""
-    load_tables(spark, sf_dir, ("documents",))
+    docs = _documents_floor(spark, sf_dir)
     return (
-        spark.table("documents")
+        docs
         .groupBy(F.md5(F.substring("text", 1, 40)).alias("fp"))
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dups"))
     )
@@ -122,12 +139,12 @@ def q_dedup_keep_longest(spark, sf_dir):
     group keep the LONGEST document (ties -> min doc_id) — the policy
     quality-over-recency pipelines use, vs q_exact_dedup_docs'
     keep-first."""
-    load_tables(spark, sf_dir, ("documents",))
+    docs = _documents_floor(spark, sf_dir)
     w = Window.partitionBy(F.md5(F.substring("text", 1, 40))).orderBy(
         F.col("n_chars").desc(), F.col("doc_id").asc()
     )
     return (
-        spark.table("documents")
+        docs
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .select(
@@ -150,9 +167,21 @@ FROM documents
 
 def _docs2(spark, sf_dir):
     """Near-dup test corpus: every doc + a copy with the last 2 words
-    dropped (high-Jaccard pair). Portably mirrored in oracles.py."""
+    dropped (high-Jaccard pair). Portably mirrored in oracles.py.
+
+    scan_parallel_floor: everything downstream of this frame is
+    compute-dense per row (shingling, minhash signatures, SimHash bit
+    votes), and the single-row-group source otherwise pins all of it to
+    ONE task (r6; measured ~6x on q_minhash_dedup at sf1.0)."""
+    from cmoncrawl_spark.session import scan_parallel_floor
+
     load_tables(spark, sf_dir, ("documents",))
-    return spark.sql(_DOCS2_SPARK)
+    return scan_parallel_floor(
+        spark,
+        spark.sql(_DOCS2_SPARK),
+        os.path.join(sf_dir, "documents.parquet"),
+        "doc_id",
+    )
 
 
 def q_minhash_dedup(spark, sf_dir):
@@ -217,23 +246,38 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_embed_dup_pairs(spark, sf_dir):
-    """Embedding near-dup: sign-LSH buckets + exact cosine >= 0.99."""
+    """Embedding near-dup: sign-LSH buckets + exact cosine >= 0.99.
+
+    scan_parallel_floor: the hyperplane sign-bucket computation (bits x
+    dim multiply-adds per row in codegen) is compute-dense; without the
+    floor the single-row-group source runs it on ONE task (r6)."""
     from cmoncrawl_spark.operators.similarity import cosine_dup_pairs
+    from cmoncrawl_spark.session import scan_parallel_floor
 
     load_tables(spark, sf_dir, ("embeddings",))
-    vecs2 = spark.sql(
-        """
-        SELECT vec_id, embedding FROM embeddings
-        UNION ALL
-        SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
-        """
+    vecs2 = scan_parallel_floor(
+        spark,
+        spark.sql(
+            """
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+            """
+        ),
+        os.path.join(sf_dir, "embeddings.parquet"),
+        "vec_id",
     )
     return cosine_dup_pairs(vecs2, threshold=0.99)
 
 
 # ------------------------------------------------------------------- frontier
 
-_FRONTIER_SHARDS = 8
+#: r6: 8 -> 32. The bloom-probe cogroup's parallelism IS the shard
+#: count (groupBy shard); 8 shards capped the probe stage at 8 of 32
+#: cores. More shards = smaller per-shard filters at the same total
+#: bits, so memory and FPR are unchanged; at production the count
+#: scales with the seen-set (SURVEY R5), this is the local default.
+_FRONTIER_SHARDS = 32
 
 
 def prepare_frontier_state(spark: SparkSession, sf_dir: str) -> str:
@@ -397,21 +441,30 @@ def q_robots_allowed(spark, sf_dir):
     (re-allowed by the longer Allow), '/' and regular paths
     (unmatched -> allowed); disallow-all hosts block everything."""
     from cmoncrawl_spark.operators.robots import parse_robots, urls_allowed
+    from cmoncrawl_spark.session import scan_parallel_floor
 
     register_crawl_views(spark, sf_dir)
-    urls = spark.sql(
-        """
-        SELECT doc_id,
-               'https://' || url_host_name ||
-               CASE CAST(doc_id % 4 AS INT)
-                 WHEN 0 THEN '/private/x'
-                 WHEN 1 THEN '/private/ok/y'
-                 WHEN 2 THEN '/'
-                 ELSE path
-               END AS url,
-               url_host_name AS host
-        FROM pages
-        """
+    # floor: the per-URL side (parse_url + longest-match fold over the
+    # broadcast rules) is map-side codegen over every URL — single-task
+    # on the one-row-group source without it (r6).
+    urls = scan_parallel_floor(
+        spark,
+        spark.sql(
+            """
+            SELECT doc_id,
+                   'https://' || url_host_name ||
+                   CASE CAST(doc_id % 4 AS INT)
+                     WHEN 0 THEN '/private/x'
+                     WHEN 1 THEN '/private/ok/y'
+                     WHEN 2 THEN '/'
+                     ELSE path
+                   END AS url,
+                   url_host_name AS host
+            FROM pages
+            """
+        ),
+        os.path.join(sf_dir, "documents.parquet"),
+        "doc_id",
     )
     rules = parse_robots(spark.table("robots"), agent="*")
     return urls_allowed(urls, rules).select("doc_id", "url", "allowed")
@@ -467,8 +520,8 @@ def q_politeness_budgets(spark, sf_dir):
 
 
 def q_token_count(spark, sf_dir):
-    load_tables(spark, sf_dir, ("documents",))
-    return spark.table("documents").select(
+    docs = _documents_floor(spark, sf_dir)
+    return docs.select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
         F.length("text").alias("n_chars_calc"),
@@ -477,12 +530,12 @@ def q_token_count(spark, sf_dir):
 
 def q_quality_stats(spark, sf_dir):
     """Quality-scoring signals as exact integers (hash-stable)."""
-    load_tables(spark, sf_dir, ("documents",))
+    docs = _documents_floor(spark, sf_dir)
     words = F.split(F.col("text"), " ")
     stop = F.size(
         F.filter(words, lambda w: (w == "the") | (w == "a") | (w == "of"))
     )
-    return spark.table("documents").select(
+    return docs.select(
         "doc_id",
         F.size(words).alias("n_words"),
         stop.alias("stop_count"),
@@ -564,8 +617,8 @@ def q_bpe_token_count(spark, sf_dir):
     """Sub-word-ish token counting (regex BPE approximation)."""
     from cmoncrawl_spark.operators.textstats import bpe_ish_token_count
 
-    load_tables(spark, sf_dir, ("documents",))
-    return spark.table("documents").select(
+    docs = _documents_floor(spark, sf_dir)
+    return docs.select(
         "doc_id", bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens")
     )
 
@@ -577,8 +630,8 @@ def q_lang_id(spark, sf_dir):
     CASE chain."""
     from cmoncrawl_spark.operators.textstats import lang_id
 
-    load_tables(spark, sf_dir, ("documents",))
-    return spark.table("documents").select(
+    docs = _documents_floor(spark, sf_dir)
+    return docs.select(
         "doc_id", lang_id(F.col("text")).alias("lang_pred")
     )
 
@@ -589,8 +642,8 @@ def q_rolling_fingerprint(spark, sf_dir):
     from cmoncrawl_spark.functions.scalars import portable_hash64
     from cmoncrawl_spark.operators.textstats import rolling_fingerprint
 
-    load_tables(spark, sf_dir, ("documents",))
-    return spark.table("documents").select(
+    docs = _documents_floor(spark, sf_dir)
+    return docs.select(
         "doc_id",
         rolling_fingerprint(F.col("text"), hash_fn=portable_hash64).alias(
             "fp64"
@@ -622,8 +675,7 @@ def q_curation_pipeline(spark, sf_dir):
     plan; every stage is an operator used elsewhere."""
     from cmoncrawl_spark.operators.textstats import quality_signals
 
-    load_tables(spark, sf_dir, ("documents",))
-    docs = spark.table("documents")
+    docs = _documents_floor(spark, sf_dir)
     w = Window.partitionBy(F.md5("text")).orderBy(F.col("doc_id").asc())
     deduped = (
         docs.withColumn("_rn", F.row_number().over(w))
@@ -660,8 +712,8 @@ def q_audio_features(spark, sf_dir):
 
 
 def q_doc_fingerprint(spark, sf_dir):
-    load_tables(spark, sf_dir, ("documents",))
-    return spark.table("documents").select(
+    docs = _documents_floor(spark, sf_dir)
+    return docs.select(
         "doc_id", F.md5(F.col("text")).alias("fingerprint")
     )
 
@@ -987,6 +1039,7 @@ def q_cosine_topk(spark, sf_dir):
     reproduces bit-identical similarity; output (vec_id, rank) only.
     """
     from cmoncrawl_spark.operators.similarity import cosine_topk
+    from cmoncrawl_spark.session import scan_parallel_floor
 
     load_tables(spark, sf_dir, ("embeddings",))
     emb = spark.table("embeddings")
@@ -994,6 +1047,11 @@ def q_cosine_topk(spark, sf_dir):
         emb.where(F.col("vec_id") == 0)
         .select(F.col("embedding").cast("array<double>"))
         .first()[0]
+    )
+    # floor: the brute-force dot+norm fold per row is compute-dense and
+    # otherwise single-task on the one-row-group source (r6).
+    emb = scan_parallel_floor(
+        spark, emb, os.path.join(sf_dir, "embeddings.parquet"), "vec_id"
     )
     return cosine_topk(
         emb, F.array(*[F.lit(float(v)) for v in qv]), k=10

@@ -67,6 +67,81 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def _conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    """Parse a size conf value ('128m', '134217728b', '1g') to bytes."""
+    v = spark.conf.get(key, None)
+    if not v:
+        return default
+    s = str(v).strip().lower()
+    mult = 1
+    for suffix, m in (
+        ("kb", 1024),
+        ("mb", 1024**2),
+        ("gb", 1024**3),
+        ("tb", 1024**4),
+        ("k", 1024),
+        ("m", 1024**2),
+        ("g", 1024**3),
+        ("t", 1024**4),
+        ("b", 1),
+    ):
+        if s.endswith(suffix):
+            s = s[: -len(suffix)]
+            mult = m
+            break
+    try:
+        return int(float(s) * mult)
+    except ValueError:
+        return default
+
+
+def scan_parallel_floor(spark: SparkSession, df, src_path: str, key_col: str):
+    """Scale-adaptive scan-parallelism floor for COMPUTE-HEAVY pipelines
+    (optimization guide §2.5, 'input skew: one huge unsplittable file
+    ... repartition immediately after the read').
+
+    The driver's test tables are ONE parquet file with a single row
+    group, so Spark plans the scan — and every operator until the first
+    exchange (expression pipelines, Arrow stages, partial aggregates) —
+    as ONE task regardless of core count. When the SOURCE file's
+    estimated split count is below the session's parallelism,
+    hash-redistribute by a unique-id column (no round-robin: avoids the
+    sort-before-repartition pass and stays deterministic under retries).
+    At production scale (estimated splits >= cores — any source over
+    cores * maxPartitionBytes) this never fires and the plan is
+    unchanged: no extra exchange, file-split parallelism as usual.
+
+    Deliberately NOT applied to every table read (r6 A/B, 4 reps at
+    sf1.0): pipelines whose per-row work is light and that read the
+    base table several times (frontier rounds: 3-4 subtrees -> 3-4
+    extra exchanges, +0.7 s; events aggregations: +0.4 s) LOSE to the
+    extra exchange, while compute-dense pipelines (shingling + minhash
+    ~6x, Arrow HTML extraction ~2x, hyperplane-LSH ~2x) dominate it.
+    Callers opt in at the operator that is known compute-bound.
+    Disable globally with SPARK_GRAFT_SCAN_FLOOR=0 (A/B runs, sources
+    known to be pre-partitioned).
+    """
+    if os.environ.get("SPARK_GRAFT_SCAN_FLOOR", "1") == "0":
+        return df
+    try:
+        size = sum(
+            os.path.getsize(os.path.join(dirpath, f))
+            for dirpath, _, files in os.walk(src_path)
+            for f in files
+            if not f.startswith("_") and not f.startswith(".")
+        ) if os.path.isdir(src_path) else os.path.getsize(src_path)
+    except OSError:
+        return df
+    max_pb = _conf_bytes(
+        spark, "spark.sql.files.maxPartitionBytes", 128 * 1024**2
+    )
+    cores = spark.sparkContext.defaultParallelism
+    est_splits = max(1, size // max_pb)
+    if est_splits >= cores or key_col not in df.columns:
+        return df
+    return df.repartition(cores, key_col)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
     """Register the driver's parquet tables as temp views; returns dict of DFs."""
     all_names = (

@@ -126,6 +126,7 @@ def run_round(
     host_policies: DataFrame,
     num_shards: int = 32,
     fetch_success: F.Column | None = None,
+    budget_cap: int | None = None,
 ) -> DataFrame:
     """Run + commit one scheduling round; returns the fetch list.
 
@@ -133,6 +134,10 @@ def run_round(
     fetch_success: predicate simulating fetch outcome (default: all
     succeed). Only successful urls' canonical ids enter the seen set —
     failed ones stay eligible for the next round (reference gate).
+    budget_cap: constant max-budget bound for the WindowGroupLimit
+    pre-shuffle cut (see scheduling_round); multi-round drivers derive
+    it ONCE from the round-invariant policies table instead of paying
+    one aggregation job per round.
     """
     spark = store.spark
     if round_id == 0:
@@ -154,6 +159,7 @@ def run_round(
         host_policies,
         bloom_shards=shards,
         num_shards=num_shards,
+        budget_cap=budget_cap,
     ).localCheckpoint(eager=True)
 
     ok = fetch_list.where(fetch_success if fetch_success is not None else F.lit(True))
@@ -222,7 +228,30 @@ def run_crawl(
         frontier = expand_links(
             store.read("fetch_list", start - 1), fanout=fanout
         )
-    for r in range(start, rounds):
-        fetch = run_round(store, r, frontier, host_policies, num_shards)
-        frontier = expand_links(fetch, fanout=fanout)
+    # Policies are ROUND-INVARIANT crawl state: materialize the small
+    # per-host table once and derive the budget cap once, instead of
+    # re-running the (view-derived: full scan + distinct) policies plan
+    # and its max-budget aggregation inside every round (optimization
+    # guide §5: cache only what is reused AND expensive to recompute).
+    persisted = False
+    if rounds - start > 1 and not (
+        host_policies.storageLevel.useMemory
+        or host_policies.storageLevel.useDisk
+    ):
+        host_policies = host_policies.persist()
+        persisted = True
+    try:
+        cap_row = host_policies.agg(F.max("budget")).first()
+        budget_cap = (
+            int(cap_row[0]) if cap_row and cap_row[0] is not None else None
+        )
+        for r in range(start, rounds):
+            fetch = run_round(
+                store, r, frontier, host_policies, num_shards,
+                budget_cap=budget_cap,
+            )
+            frontier = expand_links(fetch, fanout=fanout)
+    finally:
+        if persisted:
+            host_policies.unpersist()
     return store.last_committed_round()
