@@ -36,7 +36,7 @@ _VOID = {
 }
 
 
-@dataclass
+@dataclass(slots=True)
 class Node:
     tag: str
     attrs: dict[str, str] = field(default_factory=dict)
@@ -76,10 +76,13 @@ class _Builder(HTMLParser):
         self.stack = [self.root]
         self.source = source
         # cumulative offsets of line starts: getpos() -> absolute offset.
+        # str.find loop (C speed) — the per-character Python loop it
+        # replaces was ~15% of parse() on typical documents (r6).
         starts = [0]
-        for i, ch in enumerate(source):
-            if ch == "\n":
-                starts.append(i + 1)
+        pos = source.find("\n")
+        while pos != -1:
+            starts.append(pos + 1)
+            pos = source.find("\n", pos + 1)
         self._line_starts = starts
 
     def _offset(self) -> int:

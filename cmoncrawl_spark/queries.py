@@ -109,7 +109,12 @@ def q_unify_url_id(spark, sf_dir):
 
 
 def q_url_seen_dedup(spark, sf_dir):
-    """D1 first-arrival: one row per canonical id (earliest capture)."""
+    """D1 first-arrival: one row per canonical id (earliest capture).
+
+    No scan floor here (r6): measured 0.93 s floored vs 0.67 s plain —
+    the window's exchange immediately re-shuffles everything, so the
+    extra repartition only adds a stage (same verdict as the frontier
+    rounds)."""
     register_crawl_views(spark, sf_dir)
     pages = spark.table("pages").withColumn(
         "url_id", unify_url_id_col(F.col("url"))
@@ -829,8 +834,17 @@ def q_route_match(spark, sf_dir):
         Route("org", [r"example\d+\.org"]),
         Route("rest", [r".*"], since=datetime(2022, 1, 1)),
     ]
+    from cmoncrawl_spark.session import scan_parallel_floor
+
+    # floor: one regexp CASE chain per row, map-only plan — single-task
+    # without it (r6).
     return route_records(
-        spark.table("pages").select("url", "warc_ts"),
+        scan_parallel_floor(
+            spark,
+            spark.table("pages").select("url", "warc_ts"),
+            os.path.join(sf_dir, "documents.parquet"),
+            "url",
+        ),
         routes,
         no_match="NO_ROUTE",
     ).select("url", "warc_ts", "route")

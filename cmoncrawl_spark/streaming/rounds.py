@@ -17,12 +17,16 @@ snapshot commit); parquet keeps this sandbox hermetic — the commit
 protocol (write new round dir, then write _round marker) gives the
 same crash-consistency the Iceberg snapshot would.
 
-Bloom shards are MERGED, not rebuilt: blobs with identical (m, k)
-OR together, so a round only hashes ITS new ids — O(round), not
-O(frontier history). The seen set is likewise APPEND-ONLY (per-round
-delta dirs, read as a union): no state write grows with history. At
-round counts where many small delta files hurt scan planning, Iceberg
-owns compaction (rewrite_data_files) without changing this protocol.
+Bloom shards are APPEND-ONLY deltas, not merged-and-rewritten: a
+round builds blobs over ITS new ids only and the probe ORs every blob
+row of a shard (bloom.probe's multi-row contract), so a round's state
+write is O(round) — hashing AND bytes. (The previous protocol merged
+old+new blobs each round: new ids were O(round) but the merged blob
+REWRITE was O(history) bytes per round.) The seen set is likewise
+APPEND-ONLY (per-round delta dirs, read as a union): no state write
+grows with history. At round counts where many small delta files /
+blob rows hurt, merge_bloom_shards is the compaction primitive
+(Iceberg rewrite_data_files analog) without changing this protocol.
 """
 
 from __future__ import annotations
@@ -127,6 +131,7 @@ def run_round(
     num_shards: int = 32,
     fetch_success: F.Column | None = None,
     budget_cap: int | None = None,
+    expected_per_shard: int = 1_000_000,
 ) -> DataFrame:
     """Run + commit one scheduling round; returns the fetch list.
 
@@ -138,6 +143,13 @@ def run_round(
     pre-shuffle cut (see scheduling_round); multi-round drivers derive
     it ONCE from the round-invariant policies table instead of paying
     one aggregation job per round.
+    expected_per_shard: bloom sizing (bits scale with it). MUST be held
+    constant across a crawl's rounds so blobs merge (identical (m, k));
+    run_crawl derives it once from the seed count. The r5 fixed 1M
+    default meant 1.2 MB of filter bits per shard — ~38 MB written and
+    ~77 MB shuffled through the merge EVERY round regardless of crawl
+    size (measured 1.3 s/round at a 50k-URL frontier, the largest
+    single cost of the loop after scheduling itself).
     """
     spark = store.spark
     if round_id == 0:
@@ -151,7 +163,16 @@ def run_round(
         # (the round-1 design) was O(history) write per round — the
         # same scale bug VERDICT flagged for the bloom rebuild.
         seen = store.read_all("seen_delta", round_id - 1)
-        shards = store.read("bloom_shards", round_id - 1)
+        # bloom shards are APPEND-ONLY too (r6): each round wrote only
+        # ITS shard blobs; the union of all rounds' blobs is the seen
+        # filter — probe() ORs every blob row of a shard, so membership
+        # equals the merged filter's. The r5 protocol merged old+new
+        # and REWROTE every bit each round: O(history) bytes written
+        # and a two-Python-stage merge job per round (the very bug the
+        # note above calls out for the seen set). merge_bloom_shards
+        # remains the compaction primitive (Iceberg rewrite_data_files
+        # analog) for when round counts make many blob rows hurt.
+        shards = store.read_all("bloom_shards", round_id - 1)
 
     fetch_list = scheduling_round(
         frontier,
@@ -164,28 +185,38 @@ def run_round(
 
     ok = fetch_list.where(fetch_success if fetch_success is not None else F.lit(True))
     new_ids = ok.select("url_id")
-    new_shard_df = bloom_ops.build_shards(new_ids, num_shards=num_shards)
-    merged = (
-        new_shard_df
-        if shards is None
-        else merge_bloom_shards(shards, new_shard_df)
+    new_shard_df = bloom_ops.build_shards(
+        new_ids,
+        num_shards=num_shards,
+        expected_per_shard=expected_per_shard,
     )
 
     metrics = round_metrics(frontier, fetch_list).withColumn(
         "round_id", F.lit(round_id)
     )
 
-    store.write("fetch_list", round_id, fetch_list)
-    store.write("seen_delta", round_id, new_ids)
-    store.write("bloom_shards", round_id, merged)
+    scheduled_count = fetch_list.count()
+    # all-succeed default: the seen delta IS the fetch list — skip the
+    # second count job (one action per round adds up at 3+ rounds).
+    delta_count = (
+        scheduled_count if fetch_success is None else new_ids.count()
+    )
+    # Size the delta files from the round's actual row count instead of
+    # inheriting the checkpoint's partition count (guide §6: small
+    # files hurt twice — here every later round re-lists every prior
+    # delta dir). ~100k rows per file locally; rounds big enough to
+    # exceed that keep proportional parallelism.
+    n_files = max(1, scheduled_count // 100_000)
+    store.write("fetch_list", round_id, fetch_list.coalesce(n_files))
+    store.write("seen_delta", round_id, new_ids.coalesce(n_files))
+    store.write("bloom_shards", round_id, new_shard_df.coalesce(n_files))
     store.write("metrics", round_id, metrics)
-    delta_count = new_ids.count()
     prev_total = store.round_info(round_id - 1).get("seen_total", 0)
     store.commit_round(
         round_id,
         {
             "round_id": round_id,
-            "scheduled": fetch_list.count(),
+            "scheduled": scheduled_count,
             "seen_total": prev_total + delta_count,
         },
     )
@@ -245,10 +276,22 @@ def run_crawl(
         budget_cap = (
             int(cap_row[0]) if cap_row and cap_row[0] is not None else None
         )
+        # Bloom sizing from THIS crawl's upper-bound candidate count
+        # (seeds fan out by `fanout` each round), split over the
+        # shards; constant across rounds so every round's blobs merge
+        # (identical (m, k)). Deterministic on resume: same seeds +
+        # same arguments -> same sizing. The old fixed 1M/shard wrote
+        # megabytes of filter bits per round for kilobyte-scale crawls.
+        n_seeds = seeds.count()
+        total_candidates = sum(n_seeds * fanout**r for r in range(rounds))
+        expected_per_shard = max(
+            1024, total_candidates // max(num_shards, 1)
+        )
         for r in range(start, rounds):
             fetch = run_round(
                 store, r, frontier, host_policies, num_shards,
                 budget_cap=budget_cap,
+                expected_per_shard=expected_per_shard,
             )
             frontier = expand_links(fetch, fanout=fanout)
     finally:
