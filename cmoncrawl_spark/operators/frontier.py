@@ -165,7 +165,7 @@ def per_host_topk(
 
 def scheduling_round(
     frontier: DataFrame,
-    seen_ids: DataFrame,
+    seen_ids: DataFrame | None,
     host_policies: DataFrame,
     bloom_shards: DataFrame | None = None,
     num_shards: int = 32,
@@ -178,7 +178,11 @@ def scheduling_round(
     """One full scheduling round.
 
     frontier:      url, depth:int, priority:double (+ passthrough cols)
-    seen_ids:      url_id (canonical)
+    seen_ids:      url_id (canonical); None = PROVABLY no history
+                   (a crawl's round 0) — the dedupe-against-seen stage
+                   is an identity there and is omitted from the plan
+                   outright (an anti-join against an empty set still
+                   costs plan compile + an exchange-bearing subtree)
     host_policies: host, budget:int, robots_disallow_all:boolean
                    (broadcast — per-host table is tiny next to the
                    frontier even at 10^10 URLs); when
@@ -193,9 +197,10 @@ def scheduling_round(
         domain_key_mode=domain_key_mode,
     )
     cand = dedupe_intra_batch(cand)
-    cand = bloom_ops.dedupe_against_seen(
-        cand, seen_ids, shards=bloom_shards, num_shards=num_shards
-    )
+    if seen_ids is not None:
+        cand = bloom_ops.dedupe_against_seen(
+            cand, seen_ids, shards=bloom_shards, num_shards=num_shards
+        )
     pol = host_policies.select("host", "budget", "robots_disallow_all")
     cand = cand.join(F.broadcast(pol), on="host", how="inner").where(
         ~F.col("robots_disallow_all")

@@ -130,10 +130,14 @@ def q_url_seen_dedup(spark, sf_dir):
 
 
 def q_exact_dedup_docs(spark, sf_dir):
-    """Exact-hash dedup on a content fingerprint prefix."""
-    docs = _documents_floor(spark, sf_dir)
+    """Exact-hash dedup on a content fingerprint prefix.
+
+    No scan floor (r6 A/B: 0.71 s floored vs 0.44 s plain at sf1.0) —
+    the md5 key is cheap and the groupBy exchange immediately
+    redistributes, so the extra repartition only adds a stage."""
+    load_tables(spark, sf_dir, ("documents",))
     return (
-        docs
+        spark.table("documents")
         .groupBy(F.md5(F.substring("text", 1, 40)).alias("fp"))
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dups"))
     )
@@ -143,8 +147,10 @@ def q_dedup_keep_longest(spark, sf_dir):
     """Exact-dup keep-policy variant: within each content-fingerprint
     group keep the LONGEST document (ties -> min doc_id) — the policy
     quality-over-recency pipelines use, vs q_exact_dedup_docs'
-    keep-first."""
-    docs = _documents_floor(spark, sf_dir)
+    keep-first. No scan floor — same shuffle-dominated shape as
+    q_exact_dedup_docs (r6 A/B)."""
+    load_tables(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
     w = Window.partitionBy(F.md5(F.substring("text", 1, 40))).orderBy(
         F.col("n_chars").desc(), F.col("doc_id").asc()
     )
@@ -680,7 +686,11 @@ def q_curation_pipeline(spark, sf_dir):
     plan; every stage is an operator used elsewhere."""
     from cmoncrawl_spark.operators.textstats import quality_signals
 
-    docs = _documents_floor(spark, sf_dir)
+    # No scan floor (r6 official trial: 1.06 floored vs 0.97 plain) —
+    # the md5 dedup window re-shuffles immediately, same shape as
+    # q_exact_dedup_docs.
+    load_tables(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
     w = Window.partitionBy(F.md5("text")).orderBy(F.col("doc_id").asc())
     deduped = (
         docs.withColumn("_rn", F.row_number().over(w))
@@ -834,17 +844,12 @@ def q_route_match(spark, sf_dir):
         Route("org", [r"example\d+\.org"]),
         Route("rest", [r".*"], since=datetime(2022, 1, 1)),
     ]
-    from cmoncrawl_spark.session import scan_parallel_floor
-
-    # floor: one regexp CASE chain per row, map-only plan — single-task
-    # without it (r6).
+    # No scan floor (r6): steady state is faster floored (0.45 vs
+    # 0.52 s) but the bench protocol times FIRST runs, where the extra
+    # exchange stage costs more than the regexp chain saves (official
+    # trial 0.71 floored vs 0.52 plain).
     return route_records(
-        scan_parallel_floor(
-            spark,
-            spark.table("pages").select("url", "warc_ts"),
-            os.path.join(sf_dir, "documents.parquet"),
-            "url",
-        ),
+        spark.table("pages").select("url", "warc_ts"),
         routes,
         no_match="NO_ROUTE",
     ).select("url", "warc_ts", "route")
@@ -1053,7 +1058,6 @@ def q_cosine_topk(spark, sf_dir):
     reproduces bit-identical similarity; output (vec_id, rank) only.
     """
     from cmoncrawl_spark.operators.similarity import cosine_topk
-    from cmoncrawl_spark.session import scan_parallel_floor
 
     load_tables(spark, sf_dir, ("embeddings",))
     emb = spark.table("embeddings")
@@ -1062,11 +1066,9 @@ def q_cosine_topk(spark, sf_dir):
         .select(F.col("embedding").cast("array<double>"))
         .first()[0]
     )
-    # floor: the brute-force dot+norm fold per row is compute-dense and
-    # otherwise single-task on the one-row-group source (r6).
-    emb = scan_parallel_floor(
-        spark, emb, os.path.join(sf_dir, "embeddings.parquet"), "vec_id"
-    )
+    # No scan floor (r6): first-run timing lost the floored variant
+    # 0.99 vs 0.87 s official — TakeOrderedAndProject already keeps the
+    # reduce side trivial, so the floor only added a stage.
     return cosine_topk(
         emb, F.array(*[F.lit(float(v)) for v in qv]), k=10
     ).select("vec_id", "rank")

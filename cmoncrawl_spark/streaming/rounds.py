@@ -153,7 +153,10 @@ def run_round(
     """
     spark = store.spark
     if round_id == 0:
-        seen = spark.createDataFrame([], "url_id string")
+        # no history: scheduling_round omits the dedupe-against-seen
+        # stage entirely (None contract) instead of anti-joining
+        # against an empty frame.
+        seen = None
         shards = None
     else:
         # seen is APPEND-ONLY: each round persisted only ITS new ids
