@@ -26,6 +26,10 @@ def load5() -> float:
 
 def main() -> None:
     runs = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    # sf dir as argv[2] (default the round's sf1.0 dir; that driver-
+    # generated dir was removed after the bonus-start re-measure, so
+    # later sessions sample at /root/testdata/sf0.1).
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf1.0"
     for i in range(runs):
         # deep-idle gate: 5-min load < 1 so the PREVIOUS minutes were
         # quiet too, not just the launch instant.
@@ -35,7 +39,7 @@ def main() -> None:
         pre_load = os.getloadavg()
         env = dict(os.environ)
         env.update(
-            SPARK_GRAFT_SF_DIR="/root/testdata/sf1.0",
+            SPARK_GRAFT_SF_DIR=sf_dir,
             SPARK_GRAFT_CPUS="32",
             SPARK_GRAFT_BENCH_BUSY_MAX="0.05",
         )

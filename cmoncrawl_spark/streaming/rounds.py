@@ -198,22 +198,54 @@ def run_round(
         "round_id", F.lit(round_id)
     )
 
-    scheduled_count = fetch_list.count()
-    # all-succeed default: the seen delta IS the fetch list — skip the
-    # second count job (one action per round adds up at 3+ rounds).
-    delta_count = (
-        scheduled_count if fetch_success is None else new_ids.count()
-    )
-    # Size the delta files from the round's actual row count instead of
-    # inheriting the checkpoint's partition count (guide §6: small
-    # files hurt twice — here every later round re-lists every prior
-    # delta dir). ~100k rows per file locally; rounds big enough to
-    # exceed that keep proportional parallelism.
-    n_files = max(1, scheduled_count // 100_000)
-    store.write("fetch_list", round_id, fetch_list.coalesce(n_files))
-    store.write("seen_delta", round_id, new_ids.coalesce(n_files))
-    store.write("bloom_shards", round_id, new_shard_df.coalesce(n_files))
-    store.write("metrics", round_id, metrics)
+    # The state writes are INDEPENDENT jobs over the already-
+    # materialized checkpoint (metrics additionally re-aggregates the
+    # frontier): submit them concurrently so each job's straggler tail
+    # back-fills with the next job's tasks instead of leaving the
+    # cluster idle (optimization guide §2.6 "overlap independent
+    # jobs"; FIFO scheduling gives exactly the back-fill behavior).
+    # The metrics write needs no row count, so it goes first and runs
+    # concurrently with the count job; the three delta writes need
+    # n_files (from the count) and follow. ALL writes must SUCCEED
+    # before the commit marker below — the commit point is unchanged,
+    # so crash consistency is too: any write failure raises out of
+    # result() and the round is simply uncommitted, same as the
+    # sequential code. Measured (same-JVM interleaved A/B, sf0.1,
+    # 4 reps): crawl_3_rounds 5.9-6.5 s sequential -> 4.4-5.2 s.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = [pool.submit(store.write, "metrics", round_id, metrics)]
+        scheduled_count = fetch_list.count()
+        # all-succeed default: the seen delta IS the fetch list — skip
+        # the second count job (one action per round adds up at 3+
+        # rounds).
+        delta_count = (
+            scheduled_count if fetch_success is None else new_ids.count()
+        )
+        # Size the delta files from the round's actual row count
+        # instead of inheriting the checkpoint's partition count
+        # (guide §6: small files hurt twice — here every later round
+        # re-lists every prior delta dir). ~100k rows per file locally;
+        # rounds big enough to exceed that keep proportional
+        # parallelism.
+        n_files = max(1, scheduled_count // 100_000)
+        futs += [
+            pool.submit(
+                store.write, "fetch_list", round_id,
+                fetch_list.coalesce(n_files),
+            ),
+            pool.submit(
+                store.write, "seen_delta", round_id,
+                new_ids.coalesce(n_files),
+            ),
+            pool.submit(
+                store.write, "bloom_shards", round_id,
+                new_shard_df.coalesce(n_files),
+            ),
+        ]
+        for f in futs:
+            f.result()
     prev_total = store.round_info(round_id - 1).get("seen_total", 0)
     store.commit_round(
         round_id,

@@ -92,3 +92,29 @@ def test_metrics_lineage(spark, setup):
     rows = m.collect()
     assert rows and all(r["round_id"] == 1 for r in rows)
     assert all(r["scheduled"] <= r["candidates"] for r in rows)
+
+
+def test_failed_state_write_leaves_round_uncommitted(spark, setup):
+    """The r6 concurrent state writes (guide §2.6) must keep the commit
+    contract: if ANY of the overlapped per-round writes fails, the
+    round marker is never written and a resume re-runs the round."""
+    seeds_df, pol_df, _s, _b, _d, state_dir = setup
+    store = StateStore(spark, state_dir + "_fail")
+
+    real_write = StateStore.write
+
+    def failing_write(self, name, round_id, df):
+        if name == "bloom_shards":
+            raise RuntimeError("injected write failure")
+        return real_write(self, name, round_id, df)
+
+    StateStore.write = failing_write
+    try:
+        with pytest.raises(RuntimeError, match="injected write failure"):
+            run_crawl(store, seeds_df, pol_df, rounds=1, num_shards=8)
+    finally:
+        StateStore.write = real_write
+    assert store.last_committed_round() == -1
+    # the crawl is resumable after the fault clears: round 0 re-runs
+    run_crawl(store, seeds_df, pol_df, rounds=1, num_shards=8)
+    assert store.last_committed_round() == 0
