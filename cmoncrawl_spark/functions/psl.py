@@ -450,12 +450,19 @@ _DEFAULT_RULES: tuple[str | None, list] | None = None
 
 
 def default_psl_rules() -> list[tuple[str, str]]:
-    """Parsed default rules, cached per process (per source path)."""
+    """Parsed default rules, cached per process.
+
+    Keyed on :func:`psl_source_fingerprint` (path|mtime), NOT on the
+    path alone: an in-place rewrite of the rule file (same path, new
+    mtime) must invalidate this cache too, or the oracle's CTE —
+    which re-reads the file — and the engine's broadcast ladder —
+    which reads this cache — would judge against different rule sets
+    (ADVICE r5)."""
     global _DEFAULT_RULES
-    path = _resolve_psl_path()
-    if _DEFAULT_RULES is None or _DEFAULT_RULES[0] != path:
+    fp = psl_source_fingerprint()
+    if _DEFAULT_RULES is None or _DEFAULT_RULES[0] != fp:
         _, text = default_psl_source()
-        _DEFAULT_RULES = (path, parse_psl(text))
+        _DEFAULT_RULES = (fp, parse_psl(text))
     return _DEFAULT_RULES[1]
 
 

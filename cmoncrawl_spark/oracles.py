@@ -12,6 +12,8 @@ regexp_replace needs the 'g' flag for replace-all.
 
 from __future__ import annotations
 
+import os
+
 from cmoncrawl_spark.datagen import with_crawl_ctes
 from cmoncrawl_spark.queries import (
     DOMAIN_URL,
@@ -59,8 +61,8 @@ def _psl_rules_cte() -> tuple[str, int]:
     and re-parsing the ~14k-line list each time is pure waste."""
     from cmoncrawl_spark.functions.psl import (
         _kind_map,
+        _resolve_psl_path,
         default_psl_rules,
-        default_psl_source,
         psl_source_fingerprint,
         rule_max_labels,
     )
@@ -69,17 +71,25 @@ def _psl_rules_cte() -> tuple[str, int]:
     if fp in _PSL_CTE_CACHE:
         return _PSL_CTE_CACHE[fp]
 
-    path, _text = default_psl_source()
+    # path only — default_psl_source() would read the whole ~14k-line
+    # file just to discard the text here (ADVICE r5); the file is read
+    # by DuckDB's read_text (file route) or by default_psl_rules'
+    # fingerprint-keyed parse (VALUES route), not by this function.
+    raw_path = _resolve_psl_path()
+    path = os.path.abspath(raw_path) if raw_path else None
     rules = default_psl_rules()  # parsed once per process, cached
     probe_hi = rule_max_labels(_kind_map(rules)) + 1
     # read_text('{path}') splices the user-controlled
     # $CMONCRAWL_PSL_FILE path into SQL, AND DuckDB treats the string
     # as a glob pattern: a quote would break the statement; * ? [ ]
-    # would silently match the WRONG file(s). Rules never contain
-    # quotes (publicsuffix.org format), so the VALUES route needs no
-    # escaping of its own.
+    # would silently match the WRONG file(s). Rules are quote-free in
+    # real publicsuffix.org data, but the file is user-suppliable, so
+    # the VALUES route escapes defensively (ADVICE r5) — a no-op for
+    # every legitimate rule set.
     if path is None or "'" in path or any(c in path for c in "*?[]"):
-        vals = ", ".join(f"('{r}', '{k}')" for r, k in rules)
+        vals = ", ".join(
+            f"""('{r.replace("'", "''")}', '{k}')""" for r, k in rules
+        )
         out = (f"VALUES {vals}", probe_hi)
         _PSL_CTE_CACHE[fp] = out
         return out
